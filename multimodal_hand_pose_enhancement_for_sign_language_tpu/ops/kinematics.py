@@ -1,0 +1,200 @@
+"""Forward/inverse kinematics over the 49-bone tree, as XLA scans.
+
+Re-designs the reference's NumPy per-bone Python loops:
+
+  * ``aa_to_xyz``  — conversion_utils.py:117-137: forward kinematics that
+    rotates the parent-direction unit vector by each bone's axis-angle
+    rotation (Rodrigues) and extends by the bone length.  Sequential over
+    the 48 non-root bones (loop-carried through the tree), so implemented
+    as ``lax.scan`` with gathered parent indices and vmapped over frames
+    and clips.
+  * ``xyz_to_aa``  — conversion_utils.py:140-155: per-bone independent,
+    fully vectorized.
+  * ``get_root_bone`` — utils/utils.py:33-41.
+  * ``get_bone_length`` — 3DposeEstimator/pose3D.py:114-139 (mean bone
+    length across all frames and clips; NB the reference keys lengths by
+    bone index, not by bone-length class — reproduced).
+
+The xyz layout per frame is 50 joints x 3 = 150 floats, joint j at columns
+[3j, 3j+3); joints are numbered in bone order so bone i ends at joint i+1
+(see ops/skeleton.py).  The aa layout per frame is 48 bones x 3 = 144
+floats: bone i (i >= 1) at columns [3(i-1), 3(i-1)+3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import skeleton
+
+_J = jnp.asarray(skeleton.BONE_START)  # (49,)
+_E = jnp.asarray(skeleton.BONE_END)
+_B = jnp.asarray(skeleton.BONE_BEFORE)
+N_JOINTS = skeleton.N_JOINTS
+N_BONES = skeleton.N_BONES
+
+
+def _rodrigues(u: jax.Array, axis: jax.Array, theta: jax.Array) -> jax.Array:
+    """Rotate vectors u (..., 3) by (axis, theta); matches the formula at
+    conversion_utils.py:131-133 (axis assumed unit-norm, as produced by
+    dividing the axis-angle vector by its own norm)."""
+    cos_t = jnp.cos(theta)[..., None]
+    sin_t = jnp.sin(theta)[..., None]
+    return (
+        u * cos_t
+        + jnp.cross(axis, u) * sin_t
+        + axis * jnp.sum(axis * u, axis=-1, keepdims=True) * (1.0 - cos_t)
+    )
+
+
+def clip_aa_to_xyz(aa_clip: jax.Array, root: jax.Array, bone_len: jax.Array) -> jax.Array:
+    """FK for one clip: (T, 144) aa + (6,) root + (49,) bone_len -> (T, 150).
+
+    Faithful to conversion_utils.py:117-137 including its lack of epsilon
+    guards (a degenerate parent direction or zero rotation produces NaN,
+    exactly like the reference; upstream rmv_clips_nan handles it).
+    """
+    T = aa_clip.shape[0]
+    aa = aa_clip.reshape(T, N_BONES - 1, 3)
+    root = root.astype(aa_clip.dtype)
+
+    xyz0 = jnp.zeros((T, N_JOINTS, 3), dtype=aa_clip.dtype)
+    xyz0 = xyz0.at[:, 0, :].set(root[0:3])
+    xyz0 = xyz0.at[:, 1, :].set(root[3:6])
+
+    def step(xyz, inputs):
+        j, b, e, L, aa_bone = inputs
+        p_j = xyz[:, j, :]
+        p_b = xyz[:, b, :]
+        u = p_j - p_b
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        th = jnp.linalg.norm(aa_bone, axis=-1)
+        axis = aa_bone / th[..., None]
+        v = _rodrigues(u, axis, th)
+        p_e = p_j + L * v
+        xyz = jax.lax.dynamic_update_slice(xyz, p_e[:, None, :], (0, e, 0))
+        return xyz, None
+
+    inputs = (
+        _J[1:],
+        _B[1:],
+        _E[1:],
+        bone_len[1:].astype(aa_clip.dtype),
+        jnp.swapaxes(aa, 0, 1),  # (48, T, 3)
+    )
+    xyz, _ = jax.lax.scan(step, xyz0, inputs)
+    return xyz.reshape(T, N_JOINTS * 3)
+
+
+clip_aa_to_xyz_jit = jax.jit(clip_aa_to_xyz)
+_batched_aa_to_xyz = jax.jit(jax.vmap(clip_aa_to_xyz, in_axes=(0, None, None)))
+
+
+def clip_xyz_to_aa(xyz_clip: jax.Array) -> jax.Array:
+    """Inverse kinematics for one clip: (T, 150) -> (T, 144).
+
+    Faithful to conversion_utils.py:140-155: theta from the angle between
+    parent direction u and bone direction v (1e-6 in the cosine
+    denominator), axis = normalize(u cross v) (+1e-6), aa = axis * theta.
+    """
+    T = xyz_clip.shape[0]
+    xyz = xyz_clip.reshape(T, N_JOINTS, 3)
+    p_j = xyz[:, _J[1:], :]  # (T, 48, 3)
+    p_b = xyz[:, _B[1:], :]
+    p_e = xyz[:, _E[1:], :]
+    u = p_j - p_b
+    v = p_e - p_j
+    dot = jnp.sum(u * v, axis=-1)
+    th = jnp.arccos(
+        dot / (jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(v, axis=-1) + 1e-6)
+    )
+    a = jnp.cross(u, v)
+    a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    return (a * th[..., None]).reshape(T, (N_BONES - 1) * 3)
+
+
+clip_xyz_to_aa_jit = jax.jit(clip_xyz_to_aa)
+_batched_xyz_to_aa = jax.jit(jax.vmap(clip_xyz_to_aa))
+
+
+def _as_clip_list(x):
+    if isinstance(x, np.ndarray) and x.ndim == 3:
+        return list(x)
+    return x
+
+
+def aa_to_xyz(aa, root, bone_len, structure=None) -> list:
+    """List-of-clips FK (drop-in for conversion_utils.py:117-137).
+
+    `structure` is accepted for API compatibility but the static tree from
+    ops/skeleton.py is always used.
+    """
+    clips = _as_clip_list(aa)
+    root = jnp.asarray(np.asarray(root, dtype=np.float32))
+    bone_len = jnp.asarray(np.asarray(bone_len, dtype=np.float32))
+    out = [None] * len(clips)
+    by_shape = {}
+    for i, c in enumerate(clips):
+        by_shape.setdefault(c.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stack = jnp.asarray(np.stack([np.asarray(clips[i], np.float32) for i in idxs]))
+        res = np.asarray(_batched_aa_to_xyz(stack, root, bone_len))
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return out
+
+
+def xyz_to_aa(xyz, structure=None) -> list:
+    """List-of-clips inverse kinematics (conversion_utils.py:140-155)."""
+    clips = _as_clip_list(xyz)
+    out = [None] * len(clips)
+    by_shape = {}
+    for i, c in enumerate(clips):
+        by_shape.setdefault(c.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stack = jnp.asarray(np.stack([np.asarray(clips[i], np.float32) for i in idxs]))
+        res = np.asarray(_batched_xyz_to_aa(stack))
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return out
+
+
+def get_root_bone(xyz, structure=None) -> np.ndarray:
+    """Mean (over all frames of all clips) of the root bone's two joints.
+
+    Reference: utils/utils.py:33-41; returns a (6,) array
+    [J0_xyz, E0_xyz] averaged across frames.
+    """
+    clips = _as_clip_list(xyz)
+    j0, e0 = int(skeleton.BONE_START[0]), int(skeleton.BONE_END[0])
+    total = np.zeros(6, dtype=np.float64)
+    count = 0
+    for c in clips:
+        c = np.asarray(c)
+        pts = np.hstack((c[:, j0 * 3 : j0 * 3 + 3], c[:, e0 * 3 : e0 * 3 + 3]))
+        total += pts.sum(axis=0)
+        count += pts.shape[0]
+    return (total / count).astype(np.float32)
+
+
+def get_bone_length(kp_3d, structure=None, dtype="float32") -> np.ndarray:
+    """Mean length of each bone across all frames and clips.
+
+    Reference: pose3D.py:114-139.  Returns (49,) indexed by bone (not by
+    bone-length class), matching the reference's use of `iBone` as the key.
+    """
+    clips = _as_clip_list(kp_3d)
+    sums = np.zeros(N_BONES, dtype=np.float64)
+    counts = 0
+    J = skeleton.BONE_START
+    E = skeleton.BONE_END
+    for c in clips:
+        c = np.asarray(c)
+        pts = c.reshape(c.shape[0], N_JOINTS, 3)
+        d = pts[:, J, :] - pts[:, E, :]  # (T, 49, 3)
+        lens = np.sqrt((d * d).sum(axis=-1))  # (T, 49)
+        sums += lens.sum(axis=0)
+        counts += lens.shape[0]
+    return (sums / counts).astype(dtype)
