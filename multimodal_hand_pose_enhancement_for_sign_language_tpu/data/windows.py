@@ -1,0 +1,150 @@
+"""Window equalization, NaN filtering and pipeline slicing.
+
+Reference behaviors reproduced exactly:
+  * ``rmv_clips_nan``  — utils/postprocess_utils.py:5-28 (including the
+    list-valued-Y variant and the single-index squeeze handling),
+  * ``make_equal_len`` — utils/postprocess_utils.py:33-58; the only method
+    used by the pipeline is "cutting+reflect" with maxpad=192.  The
+    reference's "cutting" method crashes on `sizes % 2` (a list); here it
+    implements the evident intent (documented divergence),
+  * ``load_windows``   — utils/load_save_utils.py:37-58 (pipeline
+    input/output block slicing, optional text/image feature attachment).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import load_binary
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.constants import (
+    FEATURE_MAP,
+    WINDOW_T,
+)
+
+
+def rmv_clips_nan(X, Y=None, T=None):
+    """Drop clips (leading-axis entries) containing any NaN in X, Y or T.
+
+    Reference: postprocess_utils.py:5-28.
+    """
+    idx_nan = np.argwhere(np.isnan(X).any(axis=(1, 2))).squeeze().tolist()
+    if isinstance(idx_nan, int):
+        idx_nan = [idx_nan]
+    if Y is not None:
+        if isinstance(Y, list):
+            idx_nan_Y = np.argwhere(np.isnan(Y)).squeeze().tolist()
+        else:
+            idx_nan_Y = np.argwhere(np.isnan(Y).any(axis=(1, 2))).squeeze().tolist()
+        if isinstance(idx_nan_Y, int):
+            idx_nan_Y = [idx_nan_Y]
+        idx_nan += idx_nan_Y
+    if T is not None:
+        idx_nan_T = np.argwhere(np.isnan(T).any(axis=(1))).squeeze().tolist()
+        if isinstance(idx_nan_T, int):
+            idx_nan_T = [idx_nan_T]
+        idx_nan += idx_nan_T
+    idx_nan = sorted(set(idx_nan))
+    X = np.delete(X, idx_nan, axis=0)
+    if Y is not None:
+        Y = np.delete(Y, idx_nan, axis=0)
+    if T is not None:
+        T = np.delete(T, idx_nan, axis=0)
+    return X, Y, T
+
+
+def make_equal_len(data, pipeline="arm2wh", method="cutting+reflect", maxpad=WINDOW_T):
+    """Equalize a list of (T_i, D) clips into a single (N, T, D) array.
+
+    Reference: postprocess_utils.py:33-58.
+    """
+    sizes = [arr.shape[0] for arr in data]
+    if method == "0pad":
+        maxpad = np.amax(sizes) if maxpad == "maxlen" else maxpad
+        maxpad = maxpad + 1 if maxpad % 2 == 1 else maxpad
+        res = [
+            np.vstack((arr, np.zeros((maxpad - arr.shape[0], arr.shape[1]), int)))
+            for arr in data
+        ]
+        res = np.stack(res)
+
+    elif method == "cutting":
+        # NB: the reference computes `sizes % 2` on a Python list here
+        # (postprocess_utils.py:44), which raises TypeError; this is the
+        # evident intent: cut everything to the shortest even length.
+        min_T = int(np.amin(sizes))
+        min_T = min_T - 1 if min_T % 2 == 1 else min_T
+        res = np.array([arr[:min_T, :] for arr in data])
+
+    elif method == "cutting+0pad":
+        res = np.array(
+            [
+                arr[:maxpad, :]
+                if arr.shape[0] >= maxpad
+                else np.vstack(
+                    (arr, np.zeros((maxpad - arr.shape[0], arr.shape[1]), int))
+                )
+                for arr in data
+            ]
+        )
+
+    elif method == "cutting+reflect":
+        res = np.array(
+            [
+                arr[:maxpad, :]
+                if arr.shape[0] >= maxpad
+                else np.pad(arr, ((0, maxpad - arr.shape[0]), (0, 0)), "reflect")
+                for arr in data
+            ]
+        )
+
+    else:  # "wrap" or "reflect"
+        max_T = np.amax(sizes) + 1 if np.amax(sizes) % 2 == 1 else np.amax(sizes)
+        max_T = max(max_T, maxpad)
+        res = [np.pad(arr, ((0, max_T - arr.shape[0]), (0, 0)), method) for arr in data]
+        res = np.stack(res)
+    return res
+
+
+def load_windows(
+    data_path,
+    pipeline,
+    require_text=False,
+    text_path=None,
+    require_image=False,
+    image_path=None,
+    require_audio=False,
+    hand3d_image=False,
+    use_lazy=False,
+    test_smpl=False,
+    temporal=False,
+):
+    """Load an r6d pickle, equalize to (N, 192, D) and slice input/output
+    feature blocks according to the pipeline.
+
+    Reference: load_save_utils.py:37-58.  Layout: arm block (36 cols)
+    first, hands after; "wh2wh"/"arm_wh2wh" keep full X and slice Y at
+    column 36; "arm2wh"/"arm_wh2fingerK" split at p0_size.
+    """
+    p0_size, p1_size = FEATURE_MAP[pipeline]
+    if not os.path.exists(data_path):
+        return None
+    data = load_binary(data_path)
+    data = make_equal_len(data, method="cutting+reflect")
+    if pipeline in ["arm_wh2wh", "wh2wh"]:
+        p0_windows = data[:, :, :]
+        p1_windows = data[:, :, 6 * 6 :]
+    elif pipeline == "arm2wh" or pipeline[:13] == "arm_wh2finger":
+        p0_windows = data[:, :, :p0_size]
+        p1_windows = data[:, :, p0_size : p0_size + p1_size]
+    else:
+        raise KeyError(f"unknown pipeline {pipeline}")
+    if require_text and not require_image:
+        text_windows = load_binary(text_path)
+        p0_windows = (p0_windows, text_windows)
+    elif require_image and not require_text:
+        image_windows = load_binary(image_path)
+        image_windows = make_equal_len(image_windows, method="cutting+reflect")
+        p0_windows = (p0_windows, image_windows)
+    return p0_windows, p1_windows

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import skeleton
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import batching, skeleton
 
 _J = jnp.asarray(skeleton.BONE_START)  # (49,)
 _E = jnp.asarray(skeleton.BONE_END)
@@ -89,7 +89,6 @@ def clip_aa_to_xyz(aa_clip: jax.Array, root: jax.Array, bone_len: jax.Array) -> 
 
 
 clip_aa_to_xyz_jit = jax.jit(clip_aa_to_xyz)
-_batched_aa_to_xyz = jax.jit(jax.vmap(clip_aa_to_xyz, in_axes=(0, None, None)))
 
 
 def clip_xyz_to_aa(xyz_clip: jax.Array) -> jax.Array:
@@ -116,7 +115,6 @@ def clip_xyz_to_aa(xyz_clip: jax.Array) -> jax.Array:
 
 
 clip_xyz_to_aa_jit = jax.jit(clip_xyz_to_aa)
-_batched_xyz_to_aa = jax.jit(jax.vmap(clip_xyz_to_aa))
 
 
 def _as_clip_list(x):
@@ -134,31 +132,13 @@ def aa_to_xyz(aa, root, bone_len, structure=None) -> list:
     clips = _as_clip_list(aa)
     root = jnp.asarray(np.asarray(root, dtype=np.float32))
     bone_len = jnp.asarray(np.asarray(bone_len, dtype=np.float32))
-    out = [None] * len(clips)
-    by_shape = {}
-    for i, c in enumerate(clips):
-        by_shape.setdefault(c.shape, []).append(i)
-    for shape, idxs in by_shape.items():
-        stack = jnp.asarray(np.stack([np.asarray(clips[i], np.float32) for i in idxs]))
-        res = np.asarray(_batched_aa_to_xyz(stack, root, bone_len))
-        for j, i in enumerate(idxs):
-            out[i] = res[j]
-    return out
+    return batching.apply_clipwise(clip_aa_to_xyz, clips, root, bone_len)
 
 
 def xyz_to_aa(xyz, structure=None) -> list:
     """List-of-clips inverse kinematics (conversion_utils.py:140-155)."""
     clips = _as_clip_list(xyz)
-    out = [None] * len(clips)
-    by_shape = {}
-    for i, c in enumerate(clips):
-        by_shape.setdefault(c.shape, []).append(i)
-    for shape, idxs in by_shape.items():
-        stack = jnp.asarray(np.stack([np.asarray(clips[i], np.float32) for i in idxs]))
-        res = np.asarray(_batched_xyz_to_aa(stack))
-        for j, i in enumerate(idxs):
-            out[i] = res[j]
-    return out
+    return batching.apply_clipwise(clip_xyz_to_aa, clips)
 
 
 def get_root_bone(xyz, structure=None) -> np.ndarray:

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import batching
+
 _GS_EPS = 1e-6  # epsilon used by the reference's Gram-Schmidt (":92,:94")
 
 
@@ -184,10 +186,10 @@ def rot6d_to_aa(r6d) -> list:
     """List of (T_i, 6n) clips (or (N,T,6n) array) -> list of (T_i, 3n).
 
     Drop-in for conversion_utils.py:51-56 — the Pool(24) starmap becomes a
-    single batched XLA call per distinct clip length.
+    few shape-bucketed batched XLA calls.
     """
     clips = _as_clip_list(r6d)
-    return _convert_clip_list(clips, clip_rot6d_to_aa)
+    return batching.apply_clipwise(clip_rot6d_to_aa, clips)
 
 
 def aa_to_rot6d(aa) -> list:
@@ -196,24 +198,7 @@ def aa_to_rot6d(aa) -> list:
     Drop-in for conversion_utils.py:72-81.
     """
     clips = _as_clip_list(aa)
-    return _convert_clip_list(clips, clip_aa_to_rot6d)
-
-
-def _convert_clip_list(clips, fn) -> list:
-    """Convert a list of clips, batching same-length clips into one call."""
-    if len(clips) == 0:
-        return []
-    lengths = {}
-    for i, c in enumerate(clips):
-        lengths.setdefault(c.shape, []).append(i)
-    out = [None] * len(clips)
-    batched = jax.jit(jax.vmap(fn))
-    for shape, idxs in lengths.items():
-        stack = jnp.asarray(np.stack([clips[i] for i in idxs]))
-        res = np.asarray(batched(stack))
-        for j, i in enumerate(idxs):
-            out[i] = res[j]
-    return out
+    return batching.apply_clipwise(clip_aa_to_rot6d, clips)
 
 
 # numpy-compatible aliases mirroring the reference names

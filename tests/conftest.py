@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize (axon TPU tunnel) force-sets
+# jax_platforms="axon,cpu" at interpreter start, overriding JAX_PLATFORMS.
+# Tests must run on the in-process CPU backend (fast compiles, 8 virtual
+# devices), so re-override after import, before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
