@@ -1,0 +1,148 @@
+"""Convert reference PyTorch checkpoints into this framework's pytrees.
+
+The reference stores checkpoints as
+``{'epoch', 'state_dict', 'g_optimizer'|'d_optimizer'}`` (train_gan.py:
+353-370) with keys like ``encoder.1.weight`` (nn.Sequential indices:
+0 Dropout, 1 Conv1d, 2 LeakyReLU, 3 BatchNorm1d[, 4 MaxPool1d]).
+
+Weight layout conversions:
+  * Conv1d      torch (out, in, k)  -> flax (k, in, out)
+  * ConvT1d     torch (in, out, k)  -> flax (k, in, out)
+  * Linear      torch (out, in)     -> flax (in, out)
+  * BatchNorm   weight/bias -> scale/bias; running_mean/var -> batch_stats
+
+Only numpy/pickle are needed to *read* a checkpoint saved with
+``torch.save`` if torch is importable; torch (CPU) is used when present.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# flax collections are plain nested dicts here
+ParamTree = dict
+
+
+def _conv(sd, key):
+    w = np.asarray(sd[f"{key}.weight"])  # (out, in, k)
+    b = np.asarray(sd[f"{key}.bias"])
+    return {"kernel": np.transpose(w, (2, 1, 0)), "bias": b}
+
+
+def _convT(sd, key):
+    w = np.asarray(sd[f"{key}.weight"])  # (in, out, k)
+    b = np.asarray(sd[f"{key}.bias"])
+    return {"kernel": np.transpose(w, (2, 0, 1)), "bias": b}
+
+
+def _dense(sd, key):
+    w = np.asarray(sd[f"{key}.weight"])  # (out, in)
+    b = np.asarray(sd[f"{key}.bias"])
+    return {"kernel": np.transpose(w, (1, 0)), "bias": b}
+
+
+def _bn(sd, key):
+    return (
+        {"scale": np.asarray(sd[f"{key}.weight"]), "bias": np.asarray(sd[f"{key}.bias"])},
+        {
+            "mean": np.asarray(sd[f"{key}.running_mean"]),
+            "var": np.asarray(sd[f"{key}.running_var"]),
+        },
+    )
+
+
+def _conv_block(sd, key, conv_idx=1, bn_idx=3):
+    """Reference Sequential block -> our ConvBlock {Conv1d_0, BatchNorm_0}."""
+    params = {"Conv1d_0": _conv(sd, f"{key}.{conv_idx}")}
+    bn_p, bn_s = _bn(sd, f"{key}.{bn_idx}")
+    params["BatchNorm_0"] = bn_p
+    stats = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def _feat_block(sd, key):
+    """text/image postprocess Sequential -> FeatEmbedBlock."""
+    params = {"Dense_0": _dense(sd, f"{key}.1")}
+    bn_p, bn_s = _bn(sd, f"{key}.3")
+    params["BatchNorm_0"] = bn_p
+    stats = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def _decoder(sd, key="decoder"):
+    """decoder Sequential (indices 1 conv, 3 bn, 5 convT, 7 bn, 9 conv)."""
+    cb_p, cb_s = _conv_block(sd, key, 1, 3)
+    params = {
+        "ConvBlock_0": cb_p,
+        "ConvTranspose1d_0": _convT(sd, f"{key}.5"),
+        "Conv1d_0": _conv(sd, f"{key}.9"),
+    }
+    bn_p, bn_s = _bn(sd, f"{key}.7")
+    params["BatchNorm_0"] = bn_p
+    stats = {"ConvBlock_0": cb_s, "BatchNorm_0": bn_s}
+    return params, stats
+
+
+_GEN_BLOCKS = {
+    # block name in both frameworks -> (present-if predicate)
+    "encoder": lambda sd: True,
+    "conv5": lambda sd: True,
+    "conv6": lambda sd: True,
+    "conv7": lambda sd: True,
+    "conv8": lambda sd: "conv8.1.weight" in sd,
+    "conv9": lambda sd: "conv9.1.weight" in sd,
+    "conv10": lambda sd: "conv10.1.weight" in sd,
+    "skip1": lambda sd: "skip1.1.weight" in sd,
+    "skip2": lambda sd: "skip2.1.weight" in sd,
+    "skip3": lambda sd: "skip3.1.weight" in sd,
+    "skip4": lambda sd: "skip4.1.weight" in sd,
+    "skip5": lambda sd: "skip5.1.weight" in sd,
+}
+
+
+def generator_from_torch_state(state_dict) -> dict:
+    """torch state_dict -> {'params': ..., 'batch_stats': ...} pytree."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+    for name, present in _GEN_BLOCKS.items():
+        if present(sd):
+            p, s = _conv_block(sd, name)
+            params[name] = p
+            stats[name] = s
+    for feat_key in ("text_embeds_postprocess", "image_resnet_postprocess"):
+        if f"{feat_key}.1.weight" in sd:
+            p, s = _feat_block(sd, feat_key)
+            params[feat_key] = p
+            stats[feat_key] = s
+    p, s = _decoder(sd)
+    params["decoder"] = p
+    stats["decoder"] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def discriminator_from_torch_state(state_dict) -> dict:
+    """torch discriminator state_dict ('convs.<i>.*') -> pytree.
+
+    Sequential layout: 7 x [Dropout, Conv, LReLU, BN] then [Dropout, Conv];
+    conv indices 1,5,9,...,25 and final conv at 29.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+    for i in range(7):
+        conv_idx = 1 + 4 * i
+        bn_idx = conv_idx + 2
+        p, s = _conv_block(sd, "convs", conv_idx, bn_idx)
+        params[f"block{i}"] = p
+        stats[f"block{i}"] = s
+    params["final"] = _conv(sd, "convs.29")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference .pth checkpoint (requires torch, CPU map)."""
+    import torch
+
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.numpy() for k, v in loaded["state_dict"].items()}, loaded
