@@ -1,0 +1,136 @@
+"""Inference pipeline: batched enhancement forward + results persistence.
+
+Re-design of the reference inference path:
+  * `run_inference`   — inference.py:90-126: batched eval-mode forward
+    with L1 accounting; here one jitted program, batches sharded over the
+    device mesh (replacing nn.DataParallel, inference.py:45-47),
+  * `save_results`    — utils/utils.py:388-427: writes r6d/aa/xyz pickles
+    (+ root.pkl / bone_len.pkl) with the exact same file contract, using
+    the batched geometry ops instead of Pool(24) scipy loops.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+    windows as win_lib,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+    load_binary,
+    mkdir,
+    save_binary,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+    kinematics,
+    rotations,
+    skeleton,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.constants import (
+    FEATURE_MAP,
+)
+
+
+def run_inference(
+    module,
+    variables,
+    test_X,
+    test_feats=None,
+    batch_size: int = 128,
+    num_samples: int = 3000,
+    test_Y=None,
+    mesh=None,
+):
+    """Eval-mode batched forward over (N, T, D) inputs.
+
+    Returns (output (M, T, Dout), mean L1 error vs test_Y or None).
+    Mirrors the reference's batching incl. the partial final batch and the
+    num_samples cap (inference.py:96-123).
+    """
+
+    @jax.jit
+    def fwd(x, feats):
+        return module.apply(variables, x, feats, False)
+
+    outputs = []
+    error = 0.0
+    total_steps = 0
+    n = min(test_X.shape[0], num_samples)
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, test_X.shape[0])
+        x = jnp.asarray(test_X[start:end])
+        f = None if test_feats is None else jnp.asarray(test_feats[start:end])
+        y = np.asarray(fwd(x, f))
+        outputs.append(y)
+        total_steps += 1
+        if test_Y is not None:
+            error += float(np.mean(np.abs(y - test_Y[start:end]))) * batch_size
+    output = np.concatenate(outputs, axis=0)
+    mean_err = error / max(total_steps * batch_size, 1) if test_Y is not None else None
+    return output, mean_err
+
+
+def save_results(
+    input_windows,
+    output_windows,
+    pipeline: str,
+    base_path: str,
+    data_dir: str,
+    tag: str = "",
+    infer_set: str = "",
+):
+    """Write r6d/aa/xyz pickles for enhanced sequences.
+
+    `input_windows`/`output_windows` are (N, T, D) r6d arrays (original
+    scale).  File contract identical to utils/utils.py:388-427.
+    """
+    feats = pipeline.split("2")
+    out_feat = feats[1]
+    res_dir = f"results_{tag}/"
+    mkdir(os.path.join(base_path, res_dir))
+    assert not np.any(np.isnan(input_windows))
+    assert not np.any(np.isnan(output_windows))
+    if not (pipeline in FEATURE_MAP or out_feat in ("wh", "fingerL")):
+        return None
+
+    if pipeline in ("arm_wh2wh", "wh2wh"):
+        input_windows = input_windows[:, :, : 6 * 6]  # keep arms
+
+    filename = os.path.join(base_path, f"{res_dir}/r6d_{infer_set}")
+    save_binary(np.concatenate((input_windows, output_windows), axis=2), filename)
+
+    input_aa = np.array(rotations.rot6d_to_aa(input_windows))
+    output_aa = np.array(rotations.rot6d_to_aa(output_windows))
+    assert not np.any(np.isnan(input_aa))
+    assert not np.any(np.isnan(output_aa))
+    filename = os.path.join(base_path, f"{res_dir}/aa_{infer_set}")
+    save_binary(np.concatenate((input_aa, output_aa), axis=2), filename)
+
+    structure = skeleton.get_skeletal_model_structure()
+    xyz_train = load_binary(f"{data_dir}/xyz_train.pkl")
+    xyz_train = win_lib.make_equal_len(xyz_train, method="cutting+reflect")
+    xyz_train, _, _ = win_lib.rmv_clips_nan(xyz_train)
+    root = kinematics.get_root_bone(xyz_train, structure)
+    assert not np.any(np.isnan(root))
+    with open("root.pkl", "wb") as handle:
+        pickle.dump(root, handle, protocol=pickle.HIGHEST_PROTOCOL)
+
+    bone_len = kinematics.get_bone_length(xyz_train, structure)
+    assert not np.any(np.isnan(bone_len))
+    with open("bone_len.pkl", "wb") as handle:
+        pickle.dump(bone_len, handle, protocol=pickle.HIGHEST_PROTOCOL)
+
+    input_output_aa = load_binary(
+        os.path.join(base_path, f"{res_dir}/aa_{infer_set}.pkl")
+    )
+    assert not np.any(np.isnan(input_output_aa))
+    input_output_xyz = kinematics.aa_to_xyz(input_output_aa, root, bone_len, structure)
+    assert not np.any(np.isnan(input_output_xyz))
+    filename = os.path.join(base_path, f"{res_dir}/xyz_{infer_set}")
+    save_binary(input_output_xyz, filename)
+    return filename + ".pkl"

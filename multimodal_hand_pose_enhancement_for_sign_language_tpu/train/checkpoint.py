@@ -1,0 +1,41 @@
+"""Checkpoint persistence.
+
+Keeps the reference's checkpoint *semantics* (train_gan.py:353-370):
+best-val generator -> `{exp}_checkpoint.pkl`, discriminator ->
+`discriminator_{exp}.pkl`, final copy -> `lastCheckpoint_{exp}.pkl`, each
+a dict {epoch, state_dict(pytree), optimizer state}.  Stored as pickled
+numpy pytrees (framework-native); reference .pth checkpoints are importable
+through models.torch_port.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(_to_numpy(payload), f, pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint(path: str) -> dict:
+    """Load a framework checkpoint (.pkl) or a reference torch .pth."""
+    if path.endswith(".pth"):
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+            torch_port,
+        )
+
+        sd, loaded = torch_port.load_torch_checkpoint(path)
+        variables = torch_port.generator_from_torch_state(sd)
+        return {"epoch": loaded.get("epoch", 0), "generator": variables}
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,126 @@
+"""Training data assembly: the load_data path of train_gan.py:129-205.
+
+Loads r6d windows (+ optional text/image features), drops NaN clips,
+computes and persists standardization stats, standardizes, and shuffles
+with the reference's RandomState(23456).
+
+Layout note: the reference trains in (N, D, T); this framework's models
+are NLC, so arrays are returned as (N, T, D) and the persisted
+standardization npz keeps the reference's (1, D, 1) shape contract so
+stats files remain interchangeable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+    standardize as std_lib,
+    windows as win_lib,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import mkdir
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.constants import (
+    DATA_PATHS_r6d,
+)
+
+
+def fetch_split(
+    data_dir: str,
+    split: str,
+    pipeline: str,
+    require_text=False,
+    require_image=False,
+    embeds_type: str = "normal",
+    base_path: str = "./",
+):
+    """One split -> (X, Y, feats|None), reference fetch_data (:131-150)."""
+    path = os.path.join(data_dir, DATA_PATHS_r6d[split])
+    if embeds_type == "normal":
+        text_path = f"{data_dir}/{split}_sentence_embeddings.pkl"
+    else:  # "average"
+        text_path = f"{data_dir}/average_{split}_sentence_embeddings.pkl"
+    image_path = f"{data_dir}/{split}_vid_feats.pkl"
+    data_path = os.path.join(base_path, path)
+    p0, p1 = win_lib.load_windows(
+        data_path,
+        pipeline,
+        require_text=require_text,
+        text_path=text_path,
+        require_image=require_image,
+        image_path=image_path,
+    )
+    if require_text or require_image:
+        feats = p0[1]
+        p0 = p0[0]
+        return p0, p1, feats
+    return p0, p1, None
+
+
+def load_data(
+    data_dir: str,
+    pipeline: str,
+    model_path: str,
+    exp_name: str,
+    rng: np.random.RandomState,
+    require_text=False,
+    require_image=False,
+    embeds_type="normal",
+    base_path="./",
+):
+    """Reference load_data (:129-205) in NLC layout.
+
+    Returns dict with train_X/train_Y/val_X/val_Y (+feats) as (N, T, D)
+    float32, plus the standardization stats.
+    """
+    train_X, train_Y, train_feats = fetch_split(
+        data_dir, "train", pipeline, require_text, require_image, embeds_type, base_path
+    )
+    val_X, val_Y, val_feats = fetch_split(
+        data_dir, "val", pipeline, require_text, require_image, embeds_type, base_path
+    )
+    if pipeline == "wh2wh":
+        train_X, val_X = train_X[:, :, 6 * 6 :], val_X[:, :, 6 * 6 :]
+
+    train_X, train_Y, train_feats = win_lib.rmv_clips_nan(train_X, train_Y, train_feats)
+    val_X, val_Y, val_feats = win_lib.rmv_clips_nan(val_X, val_Y, val_feats)
+    assert not np.any(np.isnan(train_X)) and not np.any(np.isnan(train_Y))
+    assert not np.any(np.isnan(val_X)) and not np.any(np.isnan(val_Y))
+
+    # stats are computed and persisted in the reference's (N, D, T) layout
+    tX = np.swapaxes(train_X, 1, 2).astype(np.float32)
+    tY = np.swapaxes(train_Y, 1, 2).astype(np.float32)
+    mean_X, std_X, mean_Y, std_Y = std_lib.calc_standard(tX, tY, pipeline)
+    mkdir(model_path)
+    std_lib.save_standardization(
+        os.path.join(model_path, f"{exp_name}{pipeline}_preprocess_core.npz"),
+        mean_X,
+        std_X,
+        mean_Y,
+        std_Y,
+    )
+
+    # standardize in NLC: transpose the (1, D, 1) stats to (1, 1, D)
+    mX, sX = mean_X.transpose(0, 2, 1), std_X.transpose(0, 2, 1)
+    mY, sY = mean_Y.transpose(0, 2, 1), std_Y.transpose(0, 2, 1)
+    train_X = ((train_X - mX) / sX).astype(np.float32)
+    val_X = ((val_X - mX) / sX).astype(np.float32)
+    train_Y = ((train_Y - mY) / sY).astype(np.float32)
+    val_Y = ((val_Y - mY) / sY).astype(np.float32)
+
+    I = np.arange(len(train_X))
+    rng.shuffle(I)
+    train_X, train_Y = train_X[I], train_Y[I]
+    if train_feats is not None:
+        train_feats = train_feats[I]
+
+    return dict(
+        train_X=train_X,
+        train_Y=train_Y,
+        val_X=val_X,
+        val_Y=val_Y,
+        train_feats=train_feats,
+        val_feats=val_feats,
+        stats=(mean_X, std_X, mean_Y, std_Y),
+    )

@@ -1,0 +1,276 @@
+"""The GAN training engine: jit-compiled G/D/val steps + epoch driver.
+
+Faithful re-design of train_gan.py (/root/reference/train_gan.py):
+
+  * schedule — epoch 0 trains G; epoch > 0 with epoch % epochs_train_disc
+    == 0 trains D; all other epochs train G then validate at half batch
+    size (:102-112, :317),
+  * early stop after `patience` non-improving epochs once epoch > 100
+    (:105-107),
+  * per-epoch shuffle with a persistent RandomState(23456) (:47, :113-119),
+  * ``calc_motion`` exactly as written — first frame minus each of the
+    first T-1 frames, NOT adjacent deltas (:209-211),
+  * LSGAN MSE with optional 0.9/0.1 label smoothing (:242-247),
+  * the generator's adversarial term uses a no_grad + detached D score
+    (:282-284) so it contributes value but ZERO gradient — reproduced via
+    stop_gradient; pass effective_gan=True for a real adversarial gradient
+    (extension, off by default),
+  * RobustLoss latents exist but are not in the optimizer (:69, :76-78),
+  * Adam(lr, wd=0); ReduceLROnPlateau(patience=1e6) is effectively
+    disabled but implemented (schedulers.py).
+
+TPU-native differences: steps are single XLA programs in NLC layout;
+batches are sharded along a 'data' mesh axis (NamedSharding) so the same
+jitted step scales from 1 chip to a pod slice, XLA inserting the gradient
+all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu import losses as losses_lib
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.losses.robust import (
+    AdaptiveLossFunction,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import registry
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import mesh as mesh_lib
+
+
+def calc_motion(tensor_btd):
+    """Temporal 'motion' exactly as the reference computes it
+    (train_gan.py:209-211, translated to NLC): first frame minus each of
+    the first T-1 frames."""
+    return tensor_btd[:, :1, :] - tensor_btd[:, :-1, :]
+
+
+def mse(a, b):
+    return jnp.mean(jnp.square(a - b))
+
+
+@dataclass
+class GanConfig:
+    model: str = "v1"
+    pipeline: str = "arm2wh"
+    feature_in_dim: int = 36
+    feature_out_dim: int = 252
+    batch_size: int = 128
+    learning_rate: float = 1e-4
+    num_epochs: int = 200
+    patience: int = 100
+    epochs_train_disc: int = 3
+    disc_label_smooth: bool = False
+    loss: str = "L1"
+    require_text: bool = False
+    require_image: bool = False
+    default_size: int = 256
+    seed: int = 23456
+    effective_gan: bool = False  # extension: real adversarial gradient
+    window_t: int = 192
+
+
+class GanTrainer:
+    """Builds models/optimizers and exposes jitted train/val steps."""
+
+    def __init__(self, cfg: GanConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.generator = registry.build_generator(
+            cfg.model,
+            cfg.feature_in_dim,
+            cfg.feature_out_dim,
+            require_text=cfg.require_text,
+            require_image=cfg.require_image,
+            default_size=cfg.default_size,
+        )
+        self.discriminator = registry.build_discriminator(cfg.feature_out_dim)
+        self.g_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.learning_rate
+        )
+        self.d_tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.learning_rate
+        )
+        if cfg.loss == "RobustLoss":
+            self.adaptive = AdaptiveLossFunction(
+                num_dims=cfg.feature_out_dim * cfg.window_t
+            )
+            self.reg_loss = None
+        else:
+            self.adaptive = None
+            self.reg_loss = losses_lib.get_loss(cfg.loss)
+
+        self._g_step = jax.jit(self._g_step_impl, donate_argnums=(0,))
+        self._d_step = jax.jit(self._d_step_impl, donate_argnums=(0,))
+        self._val_step = jax.jit(self._val_step_impl)
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+    def init_state(self, rng=None) -> dict:
+        rng = jax.random.PRNGKey(self.cfg.seed) if rng is None else rng
+        rng, gk, dk = jax.random.split(rng, 3)
+        feats_dim = None
+        g_vars = registry.init_generator(
+            self.generator, gk, batch=2, T=self.cfg.window_t, feats_dim=feats_dim
+        )
+        d_vars = registry.init_discriminator(
+            self.discriminator, dk, batch=2, T=self.cfg.window_t - 1
+        )
+        state = {
+            "g_params": g_vars["params"],
+            "g_stats": g_vars["batch_stats"],
+            "d_params": d_vars["params"],
+            "d_stats": d_vars["batch_stats"],
+            "rng": rng,
+        }
+        state["g_opt"] = self.g_tx.init(state["g_params"])
+        state["d_opt"] = self.d_tx.init(state["d_params"])
+        state["robust"] = self.adaptive.init() if self.adaptive else {}
+        if self.mesh is not None:
+            state = mesh_lib.replicate(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------------
+    # losses
+    # ------------------------------------------------------------------
+    def _reg(self, y_hat, y, robust_params):
+        if self.adaptive is not None:
+            resid = (y_hat - y).reshape(y_hat.shape[0], -1)
+            return jnp.mean(self.adaptive.lossfun(resid, robust_params))
+        return self.reg_loss(y_hat, y)
+
+    # ------------------------------------------------------------------
+    # steps (all NLC: x (B, T, Din), y (B, T, Dout))
+    # ------------------------------------------------------------------
+    def _g_step_impl(self, state, x, y, feats):
+        rng, dropout_rng = jax.random.split(state["rng"])
+
+        def loss_fn(g_params):
+            y_hat, mut = self.generator.apply(
+                {"params": g_params, "batch_stats": state["g_stats"]},
+                x,
+                feats,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            fake_motion = calc_motion(y_hat)
+            fake_score = self.discriminator.apply(
+                {"params": state["d_params"], "batch_stats": state["d_stats"]},
+                fake_motion,
+                False,
+            )
+            if not self.cfg.effective_gan:
+                # reference quirk: score computed under no_grad + detached
+                fake_score = jax.lax.stop_gradient(fake_score)
+            g_loss = self._reg(y_hat, y, state["robust"]) + mse(
+                fake_score, jnp.ones_like(fake_score)
+            )
+            return g_loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["g_params"]
+        )
+        updates, g_opt = self.g_tx.update(grads, state["g_opt"], state["g_params"])
+        state["g_params"] = optax.apply_updates(state["g_params"], updates)
+        state["g_stats"] = new_stats
+        state["g_opt"] = g_opt
+        state["rng"] = rng
+        return state, loss
+
+    def _d_step_impl(self, state, x, y, feats):
+        rng, dropout_rng = jax.random.split(state["rng"])
+        dk1, dk2 = jax.random.split(dropout_rng)
+
+        # G in eval mode (reference train_discriminator: generator.eval())
+        fake = self.generator.apply(
+            {"params": state["g_params"], "batch_stats": state["g_stats"]},
+            x,
+            feats,
+            False,
+        )
+        fake = jax.lax.stop_gradient(fake)
+        fake_motion = calc_motion(fake)
+        real_motion = calc_motion(y)
+        t_fake, t_real = (0.1, 0.9) if self.cfg.disc_label_smooth else (0.0, 1.0)
+
+        def loss_fn(d_params):
+            # two sequential train-mode D forwards, exactly like the
+            # reference (batch stats advance fake -> real)
+            fake_score, mut1 = self.discriminator.apply(
+                {"params": d_params, "batch_stats": state["d_stats"]},
+                fake_motion,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dk1},
+            )
+            real_score, mut2 = self.discriminator.apply(
+                {"params": d_params, "batch_stats": mut1["batch_stats"]},
+                real_motion,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dk2},
+            )
+            d_loss = mse(fake_score, jnp.full_like(fake_score, t_fake)) + mse(
+                real_score, jnp.full_like(real_score, t_real)
+            )
+            return d_loss, mut2["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["d_params"]
+        )
+        updates, d_opt = self.d_tx.update(grads, state["d_opt"], state["d_params"])
+        state["d_params"] = optax.apply_updates(state["d_params"], updates)
+        state["d_stats"] = new_stats
+        state["d_opt"] = d_opt
+        state["rng"] = rng
+        return state, loss
+
+    def _val_step_impl(self, state, x, y, feats):
+        y_hat = self.generator.apply(
+            {"params": state["g_params"], "batch_stats": state["g_stats"]},
+            x,
+            feats,
+            False,
+        )
+        return self._reg(y_hat, y, state["robust"])
+
+    # ------------------------------------------------------------------
+    # host-side epoch driver helpers
+    # ------------------------------------------------------------------
+    def _device_batch(self, arr):
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            n_data = self.mesh.shape["data"]
+            if arr.shape[0] % n_data == 0:
+                return mesh_lib.shard_batch(arr, self.mesh)
+            # batch not divisible by the data axis: fall back to replication
+            # (correctness first; the driver picks divisible batch sizes for
+            # production runs)
+            return mesh_lib.replicate(jnp.asarray(arr), self.mesh)
+        return jnp.asarray(arr)
+
+    def run_epoch(self, state, X, Y, feats, kind: str, batch_size: int):
+        """One pass over (N, T, D)-layout numpy arrays.  Drops the last
+        incomplete batch (reference integer-division semantics)."""
+        n_batches = X.shape[0] // batch_size
+        total = 0.0
+        step = {"g": self._g_step, "d": self._d_step}.get(kind)
+        for bi in range(n_batches):
+            sl = slice(bi * batch_size, (bi + 1) * batch_size)
+            x = self._device_batch(X[sl])
+            y = self._device_batch(Y[sl])
+            f = self._device_batch(feats[sl]) if feats is not None else None
+            if kind == "val":
+                loss = self._val_step(state, x, y, f)
+            else:
+                state, loss = step(state, x, y, f)
+            total += float(loss) * batch_size
+        avg = total / max(n_batches * batch_size, 1)
+        return state, avg

@@ -13,7 +13,7 @@ torch = pytest.importorskip("torch")
 REF_UTILS = "/root/reference/utils"
 if not os.path.isdir(REF_UTILS):
     pytest.skip("reference repo not mounted", allow_module_level=True)
-sys.path.insert(0, REF_UTILS)
+sys.path.append(REF_UTILS)
 
 # the oracle's distribution.py uses the long-removed pkg_resources API;
 # shim just resource_stream so it can load its spline resource.

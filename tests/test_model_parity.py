@@ -13,7 +13,7 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 if not os.path.isdir(REF):  # reference unavailable: skip the oracle tests
     pytest.skip("reference repo not mounted", allow_module_level=True)
-sys.path.insert(0, REF)
+sys.path.append(REF)
 import modelZoo as ref_zoo  # noqa: E402
 
 import jax  # noqa: E402
