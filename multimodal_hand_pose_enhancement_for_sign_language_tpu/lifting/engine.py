@@ -1,0 +1,173 @@
+"""Lifting engine driver: batched, shape-bucketed, device-sharded.
+
+Replaces the reference's per-clip pipeline (utils/utils.py:44-137):
+
+    Pool(24) over clips x [normalize -> prune -> initialization ->
+    900-step TF SGD]
+
+with: clips padded into (batch, T-bucket) groups, the ENTIRE pipeline one
+jitted XLA program vmapped over the batch, sharded along a 'data' mesh
+axis when multiple devices are visible.  Per-clip noise reproduces the
+reference's per-clip RandomState(1234) draws (utils/utils.py:46,66-74).
+
+`lift_2d_to_3d` keeps the reference's partitioned checkpoint-append file
+contract (utils/utils.py:120-137) so long runs resume from the last saved
+partition.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+    load_binary,
+    save_binary,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import (
+    filtering,
+    init3d,
+    pose2d,
+)
+
+_PRUNE_WATCH = (0, 1, 2, 3, 4, 5, 6, 7)
+_PRUNE_THRESHOLD = 0.3
+_NOISE_SIGMA = 0.001
+_LR = 20.0
+_N_CYCLES = 900
+
+
+def _lift_core(kp, mask, noise, n_cycles: int = _N_CYCLES):
+    """One padded clip (T, 150) + frame mask (T,) + noise (3, T) -> (T, 150).
+
+    The reference pipeline of utils/utils.py:44-116 (NB: no interpolation
+    step on this path, unlike demo.py).
+    """
+    Xx = kp[:, 0::3]
+    Xy = kp[:, 1::3]
+    Xw = kp[:, 2::3]
+
+    Xx, Xy, _, _, _ = pose2d.normalization(Xx, Xy, mask=mask)
+    Xx, Xy, Xw = pose2d.prune(Xx, Xy, Xw, _PRUNE_WATCH, _PRUNE_THRESHOLD)
+    Xx = Xx * mask[:, None]
+    Xy = Xy * mask[:, None]
+    Xw = Xw * mask[:, None]
+
+    (
+        lines0,
+        rootsx0,
+        rootsy0,
+        rootsz0,
+        anglesx0,
+        anglesy0,
+        anglesz0,
+        _,
+        _,
+        _,
+    ) = init3d.initialization(Xx, Xy, Xw, _NOISE_SIGMA, noise=noise, mask=mask)
+
+    x0, y0, z0 = filtering.fk_from_angles(
+        lines0, rootsx0, rootsy0, rootsz0, anglesx0, anglesy0, anglesz0
+    )
+    Yx, Yy, Yz = filtering.filter_xyz(
+        x0, y0, z0, Xx, Xy, Xw, learning_rate=_LR, n_cycles=n_cycles, mask=mask
+    )
+
+    T = kp.shape[0]
+    out = jnp.zeros((T, Yx.shape[1] * 3), kp.dtype)
+    out = out.at[:, 0::3].set(Yx)
+    out = out.at[:, 1::3].set(Yy)
+    out = out.at[:, 2::3].set(Yz)
+    return out
+
+
+_BATCHED_CACHE: dict = {}
+
+
+def _get_batched(n_cycles: int):
+    if n_cycles not in _BATCHED_CACHE:
+        _BATCHED_CACHE[n_cycles] = jax.jit(
+            jax.vmap(partial(_lift_core, n_cycles=n_cycles))
+        )
+    return _BATCHED_CACHE[n_cycles]
+
+
+def _clip_noise(T: int, sigma: float = _NOISE_SIGMA) -> np.ndarray:
+    """The reference's per-clip noise: RandomState(1234) drawing T uniforms
+    for rootsx, then rootsy, then rootsz (utils/utils.py:46, addNoise at
+    pose2Dto3D.py:85-87)."""
+    rng = np.random.RandomState(1234)
+    return np.stack(
+        [
+            rng.uniform(-sigma, sigma, size=T).astype(np.float32)
+            for _ in range(3)
+        ]
+    )
+
+
+def lift_clip(kp: np.ndarray, n_cycles: int = _N_CYCLES) -> np.ndarray:
+    """Lift one (T, 150) 2D-keypoint clip to 3D (drop-in for
+    utils/utils.py:_lift_2d_to_3d)."""
+    return lift_clips([np.asarray(kp)], n_cycles=n_cycles)[0]
+
+
+def lift_clips(
+    clips,
+    n_cycles: int = _N_CYCLES,
+    t_bucket: int = 64,
+    max_batch: int = 128,
+) -> list:
+    """Lift a list of (T_i, 150) clips, shape-bucketed and batched."""
+    groups: dict = {}
+    for i, c in enumerate(clips):
+        c = np.asarray(c, np.float32)
+        tb = -(-max(c.shape[0], 1) // t_bucket) * t_bucket
+        groups.setdefault(tb, []).append((i, c))
+
+    out = [None] * len(clips)
+    fn = _get_batched(n_cycles)
+    for tb, members in groups.items():
+        for start in range(0, len(members), max_batch):
+            chunk = members[start : start + max_batch]
+            n = len(chunk)
+            nb = 1
+            while nb < n:
+                nb *= 2
+            kps = np.zeros((nb, tb, 150), np.float32)
+            masks = np.zeros((nb, tb), np.float32)
+            noises = np.zeros((nb, 3, tb), np.float32)
+            for slot, (i, c) in enumerate(chunk):
+                kps[slot, : c.shape[0]] = c
+                masks[slot, : c.shape[0]] = 1.0
+                noises[slot, :, : c.shape[0]] = _clip_noise(c.shape[0])
+            res = np.asarray(fn(jnp.asarray(kps), jnp.asarray(masks), jnp.asarray(noises)))
+            for slot, (i, c) in enumerate(chunk):
+                out[i] = res[slot, : c.shape[0]]
+    return out
+
+
+def lift_2d_to_3d(feats, filename: str = "feats_3d", nPartitions: int = 40, n_cycles: int = _N_CYCLES):
+    """Partitioned, resumable lifting over a clip list — the reference's
+    file contract (utils/utils.py:120-137): results are appended to
+    `filename` one partition at a time, so a crashed run resumes."""
+    feats_3d = []
+    if os.path.exists(filename):
+        print(f" -> Found file with name {filename}. Appending results.", flush=True)
+        feats_3d = load_binary(filename)
+    idx = len(feats) // nPartitions + 1
+    done = len(feats_3d)
+    for i in range(nPartitions):
+        chunk = feats[idx * i : idx * (i + 1)]
+        if not chunk:
+            continue
+        if min(idx * (i + 1), len(feats)) <= done:
+            continue  # partition already lifted in a previous run
+        lifted = lift_clips(chunk, n_cycles=n_cycles)
+        feats_3d = feats_3d + lifted
+        save_binary(feats_3d, filename)
+        print(f"LIFTED {int((i + 1) / nPartitions * 100)}%", flush=True)
+    return feats_3d

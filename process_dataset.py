@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Dataset construction driver — CLI for the process_H2S_dataset path
+(reference utils/utils.py:430-571), with the stages the reference left
+commented out (:488-554) actually runnable behind flags: lifting, r6d
+conversion, bone lengths.
+
+Reads an OpenPose-format dataset tree (see data/synthetic.make_openpose_tree
+for the expected layout), writes the xy/xyz/r6d/lengths pickles into
+--data_dir.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.platform import (
+    ensure_platform_from_env,
+)
+
+ensure_platform_from_env()
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (  # noqa: E402
+    categories as categ_lib,
+    openpose,
+    text as text_lib,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (  # noqa: E402
+    mkdir,
+    save_binary,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import (  # noqa: E402
+    engine as lift_engine,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (  # noqa: E402
+    kinematics,
+    rotations,
+    skeleton,
+)
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.constants import (  # noqa: E402
+    ARMS,
+    DATA_PATHS,
+    HANDS,
+    NECK,
+)
+
+
+def process_split(args, split: str):
+    json_dir = os.path.join(args.dataset_path, DATA_PATHS[split])
+    if not os.path.isdir(json_dir):
+        print(f"[{split}] no json dir at {json_dir}; skipping", flush=True)
+        return
+    ids = sorted(os.listdir(json_dir))
+
+    # intersect with ids that have text (and optionally categories)
+    text_path = args.text_path_template.format(split=split)
+    if os.path.exists(text_path):
+        text_ids = text_lib.get_clip_ids(text_path)
+        ids = sorted(set(ids) & set(text_ids))
+    print(f"[{split}] {len(ids)} utterances", flush=True)
+    if args.subset < 1.0:
+        ids = ids[: int(len(ids) * args.subset)]
+
+    clips, in_feats, out_feats = openpose.load_utterances_parallel(
+        ids, json_dir, max_workers=args.workers
+    )
+    if args.group_by_clip:
+        clips, in_feats, out_feats = openpose.group_clips(clips, in_feats, out_feats)
+
+    neck = openpose.select_keypoints(in_feats, NECK)
+    arms = openpose.select_keypoints(in_feats, ARMS)
+    hands = openpose.select_keypoints(out_feats, HANDS)
+    feats = openpose.hconcat_feats(neck, arms, hands)
+    xy_path = os.path.join(args.data_dir, f"xy_{split}.pkl")
+    save_binary(feats, xy_path)
+    print(f"[{split}] wrote {xy_path}", flush=True)
+
+    # text embeddings (precomputed-first: see data/text.py)
+    if os.path.exists(text_path):
+        embeds = text_lib.obtain_embeddings(
+            text_path, ids, method=args.text_method, groupByClip=args.group_by_clip
+        )
+        if embeds is not None:
+            save_binary(
+                np.asarray(embeds),
+                os.path.join(args.data_dir, f"{split}_sentence_embeddings.pkl"),
+            )
+
+    # categories
+    categ_path = args.categ_path_template.format(split=split)
+    if os.path.exists(categ_path):
+        id_categ = categ_lib.get_ids_categ(categ_path)
+        if args.group_by_clip:
+            categs = [v for _, v in sorted(id_categ.items())]
+        else:
+            categs = categ_lib.get_clips_categ(clips, id_categ)
+        save_binary(categs, os.path.join(args.data_dir, f"categs_{split}.pkl"))
+
+    if args.lift:
+        xyz_path = os.path.join(args.data_dir, f"xyz_{split}.pkl")
+        lift_engine.lift_2d_to_3d(
+            feats, xyz_path, nPartitions=args.n_partitions, n_cycles=args.n_cycles
+        )
+        print(f"[{split}] lifted -> {xyz_path}", flush=True)
+
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+            load_binary,
+        )
+
+        xyz = load_binary(xyz_path)
+        structure = skeleton.get_skeletal_model_structure()
+        if split == "train":
+            lengths = kinematics.get_bone_length(xyz, structure)
+            save_binary(lengths, os.path.join(args.data_dir, "lengths_train.pkl"))
+        aa = kinematics.xyz_to_aa(xyz, structure)
+        r6d = rotations.aa_to_rot6d(aa)
+        save_binary(r6d, os.path.join(args.data_dir, f"r6d_{split}.pkl"))
+        print(f"[{split}] wrote r6d", flush=True)
+
+
+def main(args):
+    mkdir(args.data_dir)
+    for split in ("test", "val", "train"):
+        process_split(args, split)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset_path", type=str, required=True, help="root of the OpenPose-format dataset")
+    parser.add_argument("--data_dir", type=str, default="video_data", help="output directory")
+    parser.add_argument("--text_path_template", type=str, default="{split}.text.id.en", help="per-split text id file (relative or absolute; {split} substituted)")
+    parser.add_argument("--categ_path_template", type=str, default="videoID_categoryID_{split}.csv", help="per-split category csv")
+    parser.add_argument("--text_method", type=str, default="precomputed", help="text embedding method (precomputed|BERTsentence|clip|BERTword)")
+    parser.add_argument("--subset", type=float, default=1.0, help="fraction of utterances to keep")
+    parser.add_argument("--group_by_clip", action="store_true", default=True, help="group utterances into videos (reference default)")
+    parser.add_argument("--lift", action="store_true", help="run 2D->3D lifting + r6d conversion")
+    parser.add_argument("--n_partitions", type=int, default=40, help="lifting checkpoint partitions")
+    parser.add_argument("--n_cycles", type=int, default=900, help="lifting SGD cycles")
+    parser.add_argument("--workers", type=int, default=None, help="ingestion processes")
+    args = parser.parse_args()
+    # allow templates relative to the dataset root
+    if not os.path.isabs(args.text_path_template) and not os.path.exists(
+        args.text_path_template.format(split="train")
+    ):
+        args.text_path_template = os.path.join(
+            args.dataset_path, args.text_path_template
+        )
+        args.categ_path_template = os.path.join(
+            args.dataset_path, args.categ_path_template
+        )
+    main(args)

@@ -1,0 +1,195 @@
+"""Lifting engine parity vs the reference 3DposeEstimator (numpy + TF
+oracle, imported read-only from /root/reference) on the bundled
+demo-sequence.h5, plus bucketing/masking invariance checks."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_3D = "/root/reference/3DposeEstimator"
+DEMO_H5 = os.path.join(REF_3D, "data", "demo-sequence.h5")
+if not os.path.isdir(REF_3D):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+sys.path.append(REF_3D)
+
+import pose2D as ref_pose2D  # noqa: E402
+import pose2Dto3D as ref_pose2Dto3D  # noqa: E402
+import skeletalModel as ref_skeletalModel  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import (  # noqa: E402
+    engine,
+    filtering,
+    init3d,
+    pose2d,
+)
+
+T_SLICE = 36  # small slice keeps the TF oracle fast
+
+
+@pytest.fixture(scope="module")
+def demo_xyw():
+    h5py = pytest.importorskip("h5py")
+    f = h5py.File(DEMO_H5, "r")
+    X = np.array(f.get("20161025_pocasi"), dtype="float32")[:T_SLICE]
+    f.close()
+    return X[:, 0::3], X[:, 1::3], X[:, 2::3]
+
+
+def test_normalization_matches_reference(demo_xyw):
+    Xx, Xy, Xw = demo_xyw
+    rx, ry, rmux, rmuy, rsigma = ref_pose2D.normalization(Xx.copy(), Xy.copy())
+    ox, oy, mux, muy, sigma = pose2d.normalization(jnp.asarray(Xx), jnp.asarray(Xy))
+    np.testing.assert_allclose(float(mux), rmux, rtol=1e-5)
+    np.testing.assert_allclose(float(sigma), rsigma, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ox), rx, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(oy), ry, atol=1e-4)
+
+
+def test_prune_matches_reference(demo_xyw):
+    Xx, Xy, Xw = demo_xyw
+    rx, ry, rw = ref_pose2D.prune(Xx, Xy, Xw, (0, 1, 2, 3, 4, 5, 6, 7), 0.3, "float32")
+    ox, oy, ow = pose2d.prune(jnp.asarray(Xx), jnp.asarray(Xy), jnp.asarray(Xw), (0, 1, 2, 3, 4, 5, 6, 7), 0.3)
+    np.testing.assert_allclose(np.asarray(ox), rx, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ow), rw, atol=1e-6)
+
+
+def test_interpolation_matches_reference(demo_xyw):
+    Xx, Xy, Xw = demo_xyw
+    # make some low-confidence holes so interpolation has work to do
+    Xw = Xw.copy()
+    Xw[5:9, :10] = 0.0
+    rx, ry, rw = ref_pose2D.interpolation(Xx, Xy, Xw, 0.99, "float32")
+    ox, oy, ow = pose2d.interpolation(
+        jnp.asarray(Xx), jnp.asarray(Xy), jnp.asarray(Xw), 0.99
+    )
+    np.testing.assert_allclose(np.asarray(ox), rx, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(oy), ry, atol=1e-3)
+
+
+def _ref_initialization(Xx, Xy, Xw):
+    structure = ref_skeletalModel.getSkeletalModelStructure()
+    rng = np.random.RandomState(1234)
+    return ref_pose2Dto3D.initialization(
+        Xx, Xy, Xw, structure, 0.001, rng, "float32"
+    )
+
+
+def _prepped(demo_xyw):
+    Xx, Xy, Xw = demo_xyw
+    Xx, Xy, _, _, _ = ref_pose2D.normalization(Xx.copy(), Xy.copy())
+    Xx, Xy, Xw = ref_pose2D.prune(Xx, Xy, Xw, (0, 1, 2, 3, 4, 5, 6, 7), 0.3, "float32")
+    return Xx.astype(np.float32), Xy.astype(np.float32), Xw.astype(np.float32)
+
+
+def test_initialization_matches_reference(demo_xyw):
+    Xx, Xy, Xw = _prepped(demo_xyw)
+    T = Xx.shape[0]
+    ref = _ref_initialization(Xx, Xy, Xw)
+    rlines, rrx, rry, rrz, rax, ray, raz, rYx, rYy, rYz = ref
+
+    noise = engine._clip_noise(T)
+    ours = init3d.initialization(
+        jnp.asarray(Xx), jnp.asarray(Xy), jnp.asarray(Xw), 0.001, noise=noise
+    )
+    olines, orx, ory, orz, oax, oay, oaz, oYx, oYy, oYz = [np.asarray(a) for a in ours]
+
+    np.testing.assert_allclose(olines, rlines, atol=1e-5)
+    np.testing.assert_allclose(orx, rrx, atol=1e-6)
+    # hypothesis selection can flip on near-ties between f32 and f64; the
+    # overwhelming majority of angles must agree exactly
+    agree = np.mean(np.abs(oax - rax) < 1e-3)
+    assert agree > 0.97, f"angle agreement too low: {agree}"
+    pos_err = np.abs(np.stack([oYx - rYx, oYy - rYy, oYz - rYz]))
+    assert np.median(pos_err) < 1e-3
+
+
+def test_filtering_matches_tf_reference(demo_xyw):
+    """TF autodiff-SGD oracle vs our closed-form-gradient fori_loop.
+
+    The reference's pose3D.py cannot run under Keras 3 (`SGD.minimize`
+    was removed), so the oracle transcribes its exact loss
+    (pose3D.py:93-104) into a GradientTape + apply_gradients loop —
+    semantically identical to opt.minimize(loss, var_list=[x, y, z]).
+    """
+    tf = pytest.importorskip("tensorflow")
+    Xx, Xy, Xw = _prepped(demo_xyw)
+    ref_init = _ref_initialization(Xx, Xy, Xw)
+    rlines, rrx, rry, rrz, rax, ray, raz, rYx0, rYy0, rYz0 = ref_init
+
+    n_cycles = 60  # same count on both sides
+    T, n_points = Xx.shape
+    x = tf.Variable(rYx0)
+    y = tf.Variable(rYy0)
+    z = tf.Variable(rYz0)
+    w = tf.constant(Xw)
+    tarx, tary = tf.constant(Xx), tf.constant(Xy)
+    opt = tf.keras.optimizers.SGD(learning_rate=20.0)
+    for _ in range(n_cycles):
+        with tf.GradientTape() as tape:
+            loss = (
+                tf.reduce_sum(w * tf.square(x - tarx) + w * tf.square(y - tary))
+                / (T * n_points)
+                + tf.reduce_sum(
+                    tf.square(x[: T - 1] - x[1:])
+                    + tf.square(y[: T - 1] - y[1:])
+                    + tf.square(z[: T - 1] - z[1:])
+                )
+                / ((T - 1) * n_points)
+                + tf.reduce_sum(tf.exp(rlines))
+            )
+        grads = tape.gradient(loss, [x, y, z])
+        opt.apply_gradients(zip(grads, [x, y, z]))
+    rYx, rYy, rYz = x.numpy(), y.numpy(), z.numpy()
+
+    oYx, oYy, oYz = filtering.backpropagation_based_filtering_v2(
+        rlines, rrx, rry, rrz, rax, ray, raz, Xx, Xy, Xw,
+        None, "float32", learningRate=20.0, nCycles=n_cycles,
+    )
+    np.testing.assert_allclose(np.asarray(oYx), rYx, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oYy), rYy, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(oYz), rYz, atol=2e-3)
+
+
+def test_fk_matches_loss_at_init(demo_xyw):
+    """FK snapshot must reproduce the reference's initial loss value."""
+    Xx, Xy, Xw = _prepped(demo_xyw)
+    ref_init = _ref_initialization(Xx, Xy, Xw)
+    rlines, rrx, rry, rrz, rax, ray, raz, rYx, rYy, rYz = ref_init
+    x0, y0, z0 = filtering.fk_from_angles(
+        jnp.asarray(rlines), jnp.asarray(rrx), jnp.asarray(rry), jnp.asarray(rrz),
+        jnp.asarray(rax), jnp.asarray(ray), jnp.asarray(raz),
+    )
+    # initialization's own Y accumulation is the same FK
+    np.testing.assert_allclose(np.asarray(x0), rYx, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y0), rYy, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z0), rYz, atol=1e-4)
+
+
+def test_bucketed_batch_equals_single(demo_xyw):
+    """A clip lifted alone must equal the same clip lifted in a padded,
+    mixed-length batch (mask correctness)."""
+    Xx, Xy, Xw = demo_xyw
+    kp = np.zeros((T_SLICE, 150), np.float32)
+    kp[:, 0::3], kp[:, 1::3], kp[:, 2::3] = Xx, Xy, Xw
+    single = engine.lift_clips([kp], n_cycles=30)[0]
+    batch = engine.lift_clips([kp, kp[:20], kp[:29]], n_cycles=30)
+    np.testing.assert_allclose(batch[0], single, atol=1e-5)
+    assert batch[1].shape == (20, 150)
+    assert not np.any(np.isnan(batch[1]))
+
+
+def test_lift_2d_to_3d_partitioned_resume(tmp_path, demo_xyw):
+    Xx, Xy, Xw = demo_xyw
+    kp = np.zeros((T_SLICE, 150), np.float32)
+    kp[:, 0::3], kp[:, 1::3], kp[:, 2::3] = Xx, Xy, Xw
+    clips = [kp[:16], kp[:16], kp[:16], kp[:16]]
+    fname = str(tmp_path / "feats_3d.pkl")
+    out = engine.lift_2d_to_3d(clips, fname, nPartitions=2, n_cycles=10)
+    assert len(out) == 4
+    # resume: file already complete -> nothing recomputed, length stable
+    out2 = engine.lift_2d_to_3d(clips, fname, nPartitions=2, n_cycles=10)
+    assert len(out2) == 4
