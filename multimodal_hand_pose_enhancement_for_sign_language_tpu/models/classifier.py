@@ -1,0 +1,85 @@
+"""Downstream classifiers: LSTM topic classifier + MLP sentence classifier.
+
+Re-designs of the H2Sclassifier models:
+  * ``ClassifLSTM``       — H2Sclassifier/Model/ClassifLSTM.py:5-26:
+    stacked (optionally bidirectional) LSTM over r6d sequences + Linear to
+    per-timestep logits.  Implemented with flax's scan-fused
+    OptimizedLSTMCell (the BASELINE's "lax.scan-fused recurrent cells").
+    Torch semantics kept: inter-layer dropout (not after the last layer),
+    U(-1/sqrt(hidden), 1/sqrt(hidden)) init for all LSTM weights.
+  * ``SentenceClassifier`` — H2Sclassifier/Train_Test/MLP_main.py:17-28:
+    Linear(384->256) -> ReLU -> Linear(256->10) -> Sigmoid.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.models.layers import (
+    Dense,
+)
+
+
+def _lstm_uniform(hidden_size):
+    bound = 1.0 / jnp.sqrt(hidden_size)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ClassifLSTM(nn.Module):
+    hidden_size: int = 1024
+    num_layers: int = 10
+    num_classes: int = 10
+    bidirectional: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, seq, train: bool = False):
+        """(B, T, D) -> (B, T, num_classes) per-timestep logits."""
+        init = _lstm_uniform(self.hidden_size)
+        h = seq
+        for layer in range(self.num_layers):
+            def run(name, reverse):
+                cell = nn.OptimizedLSTMCell(
+                    self.hidden_size,
+                    kernel_init=init,
+                    recurrent_kernel_init=init,
+                    bias_init=init,
+                    name=f"{name}_cell",
+                )
+                rnn = nn.RNN(cell, reverse=reverse, keep_order=True, name=name)
+                return rnn(h)
+
+            fwd = run(f"lstm{layer}_f", False)
+            if self.bidirectional:
+                bwd = run(f"lstm{layer}_b", True)
+                h = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                h = fwd
+            # torch nn.LSTM applies dropout between layers, not after the
+            # last one
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        B, T, _ = h.shape
+        y = Dense(self.num_classes, name="Linear")(h.reshape(B * T, -1))
+        return y.reshape(B, T, self.num_classes)
+
+
+class SentenceClassifier(nn.Module):
+    in_dim: int = 384
+    hidden: int = 256
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Dense(self.hidden, name="fc1")(x)
+        x = nn.relu(x)
+        x = Dense(self.num_classes, name="fc2")(x)
+        return nn.sigmoid(x)
