@@ -53,17 +53,35 @@ def parse_frame_json(data: dict) -> tuple[np.ndarray, np.ndarray]:
     return in_kp, out_kp
 
 
-def load_utterance(clip_path: str, pipeline: str = "arm2wh"):
+def load_utterance(clip_path: str, pipeline: str = "arm2wh", use_native=None):
     """Read all frame JSONs of one utterance directory.
 
     Returns (in_kp (T, 75), out_kp (T, 126)) like utils/utils.py:151-170;
     body 25 keypoints as input stream, right+left hand 21+21 as output.
+
+    Uses the C++ scanner (runtime/openpose_parser.cpp) when built — the
+    host-side ingestion hot path — with the Python json fallback.
     """
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.runtime import (
+        native,
+    )
+
+    if use_native is None:
+        use_native = native.native_available()
+
     in_rows, out_rows = [], []
     for frame in sorted(os.listdir(clip_path)):
         path = os.path.join(clip_path, frame)
         if not os.path.isfile(path):
             continue
+        if use_native:
+            with open(path, "rb") as f:
+                parsed = native.parse_openpose_frame_bytes(f.read())
+            if parsed is not None:
+                in_rows.append(parsed[0])
+                out_rows.append(parsed[1])
+                continue
+            use_native = False  # library vanished mid-run: fall back
         with open(path) as f:
             data = json.load(f)
         i, o = parse_frame_json(data)

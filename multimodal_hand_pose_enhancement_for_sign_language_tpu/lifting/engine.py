@@ -41,12 +41,11 @@ _LR = 20.0
 _N_CYCLES = 900
 
 
-def _lift_core(kp, mask, noise, n_cycles: int = _N_CYCLES):
-    """One padded clip (T, 150) + frame mask (T,) + noise (3, T) -> (T, 150).
+def _init_core(kp, mask, noise):
+    """Pre-filter pipeline for one padded clip: normalization -> prune ->
+    initialization -> FK snapshot (utils/utils.py:44-92, sans filtering).
 
-    The reference pipeline of utils/utils.py:44-116 (NB: no interpolation
-    step on this path, unlike demo.py).
-    """
+    Returns (x0, y0, z0, Xx, Xy, Xw) each (T, 50)."""
     Xx = kp[:, 0::3]
     Xy = kp[:, 1::3]
     Xw = kp[:, 2::3]
@@ -73,27 +72,60 @@ def _lift_core(kp, mask, noise, n_cycles: int = _N_CYCLES):
     x0, y0, z0 = filtering.fk_from_angles(
         lines0, rootsx0, rootsy0, rootsz0, anglesx0, anglesy0, anglesz0
     )
-    Yx, Yy, Yz = filtering.filter_xyz(
-        x0, y0, z0, Xx, Xy, Xw, learning_rate=_LR, n_cycles=n_cycles, mask=mask
-    )
+    return x0, y0, z0, Xx, Xy, Xw
 
-    T = kp.shape[0]
-    out = jnp.zeros((T, Yx.shape[1] * 3), kp.dtype)
-    out = out.at[:, 0::3].set(Yx)
-    out = out.at[:, 1::3].set(Yy)
-    out = out.at[:, 2::3].set(Yz)
+
+def _interleave(Yx, Yy, Yz, dtype):
+    B, T, n = Yx.shape
+    out = jnp.zeros((B, T, n * 3), dtype)
+    out = out.at[..., 0::3].set(Yx)
+    out = out.at[..., 1::3].set(Yy)
+    out = out.at[..., 2::3].set(Yz)
     return out
+
+
+def _lift_batch(kps, masks, noises, n_cycles: int, use_pallas: bool):
+    x0, y0, z0, Xx, Xy, Xw = jax.vmap(_init_core)(kps, masks, noises)
+    if use_pallas:
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+            pallas_kernels,
+        )
+
+        Yx, Yy, Yz = pallas_kernels.filter_sgd(
+            x0, y0, z0, Xx, Xy, Xw, masks, _LR, n_cycles
+        )
+    else:
+        Yx, Yy, Yz = jax.vmap(
+            lambda a, b, c, tx, ty, w, m: filtering.filter_xyz(
+                a, b, c, tx, ty, w, learning_rate=_LR, n_cycles=n_cycles, mask=m
+            )
+        )(x0, y0, z0, Xx, Xy, Xw, masks)
+    return _interleave(Yx, Yy, Yz, kps.dtype)
 
 
 _BATCHED_CACHE: dict = {}
 
 
-def _get_batched(n_cycles: int):
-    if n_cycles not in _BATCHED_CACHE:
-        _BATCHED_CACHE[n_cycles] = jax.jit(
-            jax.vmap(partial(_lift_core, n_cycles=n_cycles))
+def use_pallas_default() -> bool:
+    """Pallas filter on real TPUs; pure-XLA loop elsewhere (interpret-mode
+    Pallas is far too slow for the 900-cycle production loop)."""
+    if os.environ.get("MHPE_LIFT_PALLAS") in ("0", "false"):
+        return False
+    if os.environ.get("MHPE_LIFT_PALLAS") in ("1", "true"):
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _get_batched(n_cycles: int, use_pallas: bool):
+    key = (n_cycles, use_pallas)
+    if key not in _BATCHED_CACHE:
+        _BATCHED_CACHE[key] = jax.jit(
+            partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas)
         )
-    return _BATCHED_CACHE[n_cycles]
+    return _BATCHED_CACHE[key]
 
 
 def _clip_noise(T: int, sigma: float = _NOISE_SIGMA) -> np.ndarray:
@@ -120,6 +152,7 @@ def lift_clips(
     n_cycles: int = _N_CYCLES,
     t_bucket: int = 64,
     max_batch: int = 128,
+    use_pallas: bool | None = None,
 ) -> list:
     """Lift a list of (T_i, 150) clips, shape-bucketed and batched."""
     groups: dict = {}
@@ -129,7 +162,9 @@ def lift_clips(
         groups.setdefault(tb, []).append((i, c))
 
     out = [None] * len(clips)
-    fn = _get_batched(n_cycles)
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    fn = _get_batched(n_cycles, use_pallas)
     for tb, members in groups.items():
         for start in range(0, len(members), max_batch):
             chunk = members[start : start + max_batch]

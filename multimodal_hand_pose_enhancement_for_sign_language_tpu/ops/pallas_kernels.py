@@ -1,0 +1,221 @@
+"""Pallas TPU kernels for the hot elementwise loops.
+
+1. ``filter_sgd``   — the lifting engine's 900-iteration SGD xyz smoothing
+   (lifting/filtering.py).  The pure-XLA `fori_loop` writes its carry to
+   HBM every iteration; this kernel keeps the whole (clips x joints x
+   time) tile resident in VMEM for all iterations, with the temporal
+   neighbor terms as lane rolls.  Layout: clips fold into the sublane
+   axis ((chunk * J_PAD, T_PAD) f32 tiles), time rides the lanes.
+
+2. ``robust_loss``  — the Barron general robust loss with its gradient
+   w.r.t. x, fused into one VPU pass over (rows, lanes) tiles (BASELINE's
+   "fused Pallas loss kernel").  Exposed as `lossfun_pallas` with a
+   custom VJP (dx from the kernel; d(alpha)/d(scale) via the jnp
+   reference implementation, used only when latents are trained).
+
+Both kernels run in interpret mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.losses.robust import (
+    general as robust_general,
+)
+
+J = 50  # joints
+J_PAD = 56  # sublane-aligned joints (multiple of 8)
+_MACHINE_EPS = np.float32(np.finfo(np.float32).eps)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# 1. fused filtering SGD
+# ---------------------------------------------------------------------------
+
+
+def _filter_kernel(n_cycles, lr, x_ref, y_ref, z_ref, tx_ref, ty_ref, w2_ref, pm_ref, xo_ref, yo_ref, zo_ref):
+    tarx = tx_ref[:]
+    tary = ty_ref[:]
+    w2 = w2_ref[:]  # 2 * w * mask / (t_real * nPoints), per row
+    pm = pm_ref[:]  # pair_mask / ((t_real - 1) * nPoints), per row
+
+    def body(_, state):
+        x, y, z = state
+
+        def smooth(s):
+            # pltpu.roll wants non-negative shifts: roll(-1) == roll(L-1)
+            sd = (s - pltpu.roll(s, s.shape[1] - 1, axis=1)) * pm
+            return 2.0 * (sd - pltpu.roll(sd, 1, axis=1))
+
+        gx = w2 * (x - tarx) + smooth(x)
+        gy = w2 * (y - tary) + smooth(y)
+        gz = smooth(z)
+        return (x - lr * gx, y - lr * gy, z - lr * gz)
+
+    x, y, z = jax.lax.fori_loop(
+        0, n_cycles, body, (x_ref[:], y_ref[:], z_ref[:])
+    )
+    xo_ref[:] = x
+    yo_ref[:] = y
+    zo_ref[:] = z
+
+
+def filter_sgd(
+    x0, y0, z0, tarx, tary, w, mask, learning_rate: float, n_cycles: int,
+    chunk: int = 16, interpret: bool | None = None,
+):
+    """Batched fused filtering.
+
+    All tensor args are (B, T, J=50); mask is (B, T).  Returns filtered
+    (x, y, z) with the same shapes.  Semantics identical to
+    lifting/filtering.filter_xyz vmapped over the batch.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, T, _ = x0.shape
+    t_pad = max(128, -(-T // 128) * 128)
+    n_chunks = -(-B // chunk)
+    b_pad = n_chunks * chunk
+
+    def to_tiles(a):  # (B, T, J) -> (b_pad * J_PAD, t_pad)
+        a = jnp.swapaxes(a, 1, 2)  # (B, J, T)
+        a = jnp.pad(a, ((0, b_pad - B), (0, J_PAD - J), (0, t_pad - T)))
+        return a.reshape(b_pad * J_PAD, t_pad)
+
+    t_real = jnp.sum(mask, axis=1)  # (B,)
+    dd = t_real * J  # data denom
+    ds = (t_real - 1.0) * J  # smoothness denom
+
+    w2_rows = 2.0 * w * mask[:, :, None] / dd[:, None, None]  # (B, T, J)
+    # pair mask over time: valid for t < t_real - 1 (mask_t * mask_{t+1})
+    pair = mask[:, :-1] * mask[:, 1:]
+    pair = jnp.concatenate([pair, jnp.zeros((B, 1), mask.dtype)], axis=1)  # (B, T)
+    pm_rows = (pair / ds[:, None])[:, :, None] * jnp.ones((1, 1, J), mask.dtype)
+
+    tiles = [to_tiles(a) for a in (x0, y0, z0, tarx, tary, w2_rows, pm_rows)]
+
+    rows = chunk * J_PAD
+    grid = (n_chunks,)
+    spec = pl.BlockSpec((rows, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b_pad * J_PAD, t_pad), x0.dtype)] * 3
+
+    kernel = functools.partial(_filter_kernel, n_cycles, learning_rate)
+    xo, yo, zo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * 7,
+        out_specs=[spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tiles)
+
+    def from_tiles(a):  # back to (B, T, J)
+        a = a.reshape(b_pad, J_PAD, t_pad)[:B, :J, :T]
+        return jnp.swapaxes(a, 1, 2)
+
+    return from_tiles(xo), from_tiles(yo), from_tiles(zo)
+
+
+# ---------------------------------------------------------------------------
+# 2. fused robust loss (+ dx)
+# ---------------------------------------------------------------------------
+
+
+def _robust_kernel(x_ref, a_ref, c_ref, loss_ref, dx_ref):
+    x = x_ref[:]
+    alpha = a_ref[:]
+    c = c_ref[:]
+    xc = x / c
+    u = xc * xc
+
+    beta = jnp.maximum(_MACHINE_EPS, jnp.abs(alpha - 2.0))
+    alpha_safe = jnp.where(alpha >= 0, 1.0, -1.0) * jnp.maximum(
+        _MACHINE_EPS, jnp.abs(alpha)
+    )
+    base = u / beta + 1.0
+    pow_half_a = jnp.power(base, 0.5 * alpha)
+    loss_general = (beta / alpha_safe) * (pow_half_a - 1.0)
+    # d/dx of the general branch: (x / c^2) * base^(alpha/2 - 1)
+    dx_general = (x / (c * c)) * pow_half_a / base
+
+    loss_two = 0.5 * u
+    dx_two = x / (c * c)
+    loss_zero = jnp.log1p(jnp.minimum(0.5 * u, 33e37))
+    dx_zero = (x / (c * c)) / (0.5 * u + 1.0)
+
+    is_two = alpha == 2.0
+    is_zero = alpha == 0.0
+    loss_ref[:] = jnp.where(
+        is_zero, loss_zero, jnp.where(is_two, loss_two, loss_general)
+    )
+    dx_ref[:] = jnp.where(is_zero, dx_zero, jnp.where(is_two, dx_two, dx_general))
+
+
+def _robust_fwd_pallas(x, alpha, scale, interpret):
+    """x (N, D); alpha/scale broadcastable (1, D) or scalars."""
+    N, D = x.shape
+    d_pad = -(-D // 128) * 128
+    n_pad = -(-N // 8) * 8
+    xp = jnp.pad(x, ((0, n_pad - N), (0, d_pad - D)))
+    a = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (1, D))
+    c = jnp.broadcast_to(jnp.asarray(scale, x.dtype), (1, D))
+    # pad alpha with 2.0 / scale with 1.0 so padding lanes stay finite
+    ap = jnp.pad(a, ((0, 0), (0, d_pad - D)), constant_values=2.0)
+    cp = jnp.pad(c, ((0, 0), (0, d_pad - D)), constant_values=1.0)
+    ap = jnp.broadcast_to(ap, (n_pad, d_pad))
+    cp = jnp.broadcast_to(cp, (n_pad, d_pad))
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    loss, dx = pl.pallas_call(
+        _robust_kernel,
+        in_specs=[spec] * 3,
+        out_specs=[spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, d_pad), x.dtype)] * 2,
+        interpret=interpret,
+    )(xp, ap, cp)
+    return loss[:N, :D], dx[:N, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def lossfun_pallas(x, alpha, scale, interpret=None):
+    """Fused Barron loss; matches losses.robust.general.lossfun for
+    alpha in {0, 2} U (general branch) — the adaptive training range."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    loss, _ = _robust_fwd_pallas(x, alpha, scale, interpret)
+    return loss
+
+
+def _lossfun_fwd(x, alpha, scale, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    loss, dx = _robust_fwd_pallas(x, alpha, scale, interpret)
+    return loss, (dx, x, alpha, scale)
+
+
+def _lossfun_bwd(interpret, res, g):
+    dx, x, alpha, scale = res
+    # d(alpha), d(scale) through the jnp reference (cheap relative to x,
+    # and only needed when latents are actually optimized)
+    _, vjp = jax.vjp(
+        lambda a, c: robust_general.lossfun(x, a, c), alpha, scale
+    )
+    da, dc = vjp(g)
+    return (g * dx, da, dc)
+
+
+lossfun_pallas.defvjp(_lossfun_fwd, _lossfun_bwd)
