@@ -60,9 +60,9 @@ def crop_frame(frame_hwc: np.ndarray, center, size=CROP_HW) -> np.ndarray:
     """Pad-and-crop a (H, W, C) frame around `center`
     (proc_vid.py:281-309)."""
     h, w = size
-    cx, cy = int(round(center[0])), int(round(center[1]))
-    top = cy - h // 2
-    left = cx - w // 2
+    # reference arithmetic truncates (proc_vid.py:297): int(middle - s/2)
+    top = int(np.floor(center[1])) - h // 2
+    left = int(np.floor(center[0])) - w // 2
     H, W, C = frame_hwc.shape
     out = np.zeros((h, w, C), frame_hwc.dtype)
     src_t, src_l = max(top, 0), max(left, 0)
@@ -116,6 +116,61 @@ def obtain_cropped_clips(clip_list, json_root: str, s_ids, **kwargs) -> list:
 
 IMAGENET_MEAN = np.array([123.68, 116.779, 103.939], np.float32)
 IMAGENET_STD = np.array([58.393, 57.12, 57.375], np.float32)
+
+
+def obtain_feats_crops_clip(crops_list) -> list:
+    """CLIP ViT-B/32 image features per hand (proc_vid.py:111-142);
+    needs the `clip` package + weights (import-gated)."""
+    import clip
+    import torch
+    from PIL import Image
+
+    model, preprocess = clip.load("ViT-B/32", "cpu")
+
+    def embed(frames_tchw):
+        imgs = [
+            preprocess(Image.fromarray(np.moveaxis(f, 0, -1).astype(np.uint8), "RGB"))
+            for f in frames_tchw
+        ]
+        with torch.no_grad():
+            return model.encode_image(torch.stack(imgs)).cpu().numpy()
+
+    return [
+        np.hstack((embed(c[..., 0]), embed(c[..., 1]))) for c in crops_list
+    ]
+
+
+# ---------------------------------------------------------------------------
+# debug / inspection utilities (reference proc_vid.py:255-377)
+# ---------------------------------------------------------------------------
+
+
+def save_as_mp4(vid, fps: int = 25, filename: str = "testing.avi"):
+    """(T, C, H, W) RGB -> video file (proc_vid.py:256-262); needs cv2."""
+    import cv2
+
+    T, _, H, W = vid.shape
+    writer = cv2.VideoWriter(
+        filename, cv2.VideoWriter_fourcc(*"PIM1"), fps, (W, H), True
+    )
+    for i in range(T):
+        x = np.moveaxis(vid[i], 0, -1)
+        writer.write(np.uint8(x[..., ::-1]))
+    writer.release()
+    return filename
+
+
+def overlap_vid_points(vid, points):
+    """Paint (row, col) keypoints as red squares on a (T, H, W, C) video
+    (proc_vid.py:267-276)."""
+    out = vid.copy()
+    for t in range(vid.shape[0]):
+        p = points[t, :]
+        for i in range(0, len(p), 2):
+            r, c = int(p[i]), int(p[i + 1])
+            out[t, r - 3 : r + 3, c - 3 : c + 3, 0] = 255
+            out[t, r - 3 : r + 3, c - 3 : c + 3, 1:] = 0
+    return out
 
 
 def obtain_feats_crops_resnet(
