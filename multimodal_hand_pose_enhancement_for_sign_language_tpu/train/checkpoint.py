@@ -21,14 +21,24 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, payload: dict) -> None:
+def save_checkpoint(path: str, payload: dict, backend: str = "pickle") -> None:
+    """backend: "pickle" (default, reference-style single file) or
+    "orbax" (async-capable OCDBT directory checkpoint, for large states)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path) + ".orbax", _to_numpy(payload), force=True)
+        ckptr.wait_until_finished()
+        return
     with open(path, "wb") as f:
         pickle.dump(_to_numpy(payload), f, pickle.HIGHEST_PROTOCOL)
 
 
 def load_checkpoint(path: str) -> dict:
-    """Load a framework checkpoint (.pkl) or a reference torch .pth."""
+    """Load a framework checkpoint (.pkl / .orbax dir) or a reference
+    torch .pth."""
     if path.endswith(".pth"):
         from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
             torch_port,
@@ -37,5 +47,10 @@ def load_checkpoint(path: str) -> dict:
         sd, loaded = torch_port.load_torch_checkpoint(path)
         variables = torch_port.generator_from_torch_state(sd)
         return {"epoch": loaded.get("epoch", 0), "generator": variables}
+    if path.endswith(".orbax") or os.path.isdir(path + ".orbax"):
+        import orbax.checkpoint as ocp
+
+        target = path if path.endswith(".orbax") else path + ".orbax"
+        return ocp.StandardCheckpointer().restore(os.path.abspath(target))
     with open(path, "rb") as f:
         return pickle.load(f)

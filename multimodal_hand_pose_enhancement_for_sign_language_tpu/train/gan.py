@@ -74,6 +74,9 @@ class GanConfig:
     seed: int = 23456
     effective_gan: bool = False  # extension: real adversarial gradient
     window_t: int = 192
+    # "bfloat16" runs model compute in bf16 (params/optimizer stay f32,
+    # losses reduce in f32) — the TPU MXU's native dtype; ~2x step speed.
+    compute_dtype: str = "float32"
 
 
 class GanTrainer:
@@ -138,6 +141,30 @@ class GanTrainer:
         return state
 
     # ------------------------------------------------------------------
+    # mixed precision
+    # ------------------------------------------------------------------
+    def _cast_in(self, tree):
+        """Cast params/activations for compute; master copies stay f32."""
+        if self.cfg.compute_dtype == "bfloat16":
+            return jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                tree,
+            )
+        return tree
+
+    def _cast_out(self, tree):
+        if self.cfg.compute_dtype == "bfloat16":
+            return jax.tree.map(
+                lambda a: a.astype(jnp.float32)
+                if a.dtype == jnp.bfloat16
+                else a,
+                tree,
+            )
+        return tree
+
+    # ------------------------------------------------------------------
     # losses
     # ------------------------------------------------------------------
     def _reg(self, y_hat, y, robust_params):
@@ -151,22 +178,32 @@ class GanTrainer:
     # ------------------------------------------------------------------
     def _g_step_impl(self, state, x, y, feats):
         rng, dropout_rng = jax.random.split(state["rng"])
+        xc = self._cast_in(x)
+        fc = self._cast_in(feats) if feats is not None else None
 
         def loss_fn(g_params):
             y_hat, mut = self.generator.apply(
-                {"params": g_params, "batch_stats": state["g_stats"]},
-                x,
-                feats,
+                {
+                    "params": self._cast_in(g_params),
+                    "batch_stats": self._cast_in(state["g_stats"]),
+                },
+                xc,
+                fc,
                 True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
-            fake_motion = calc_motion(y_hat)
+            y_hat = y_hat.astype(jnp.float32)
+            mut = {"batch_stats": self._cast_out(mut["batch_stats"])}
+            fake_motion = self._cast_in(calc_motion(y_hat))
             fake_score = self.discriminator.apply(
-                {"params": state["d_params"], "batch_stats": state["d_stats"]},
+                {
+                    "params": self._cast_in(state["d_params"]),
+                    "batch_stats": self._cast_in(state["d_stats"]),
+                },
                 fake_motion,
                 False,
-            )
+            ).astype(jnp.float32)
             if not self.cfg.effective_gan:
                 # reference quirk: score computed under no_grad + detached
                 fake_score = jax.lax.stop_gradient(fake_score)
@@ -191,37 +228,43 @@ class GanTrainer:
 
         # G in eval mode (reference train_discriminator: generator.eval())
         fake = self.generator.apply(
-            {"params": state["g_params"], "batch_stats": state["g_stats"]},
-            x,
-            feats,
+            {
+                "params": self._cast_in(state["g_params"]),
+                "batch_stats": self._cast_in(state["g_stats"]),
+            },
+            self._cast_in(x),
+            self._cast_in(feats) if feats is not None else None,
             False,
         )
         fake = jax.lax.stop_gradient(fake)
         fake_motion = calc_motion(fake)
-        real_motion = calc_motion(y)
+        real_motion = self._cast_in(calc_motion(y))
         t_fake, t_real = (0.1, 0.9) if self.cfg.disc_label_smooth else (0.0, 1.0)
 
         def loss_fn(d_params):
             # two sequential train-mode D forwards, exactly like the
             # reference (batch stats advance fake -> real)
+            dp = self._cast_in(d_params)
             fake_score, mut1 = self.discriminator.apply(
-                {"params": d_params, "batch_stats": state["d_stats"]},
+                {"params": dp, "batch_stats": self._cast_in(state["d_stats"])},
                 fake_motion,
                 True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dk1},
             )
             real_score, mut2 = self.discriminator.apply(
-                {"params": d_params, "batch_stats": mut1["batch_stats"]},
+                {"params": dp, "batch_stats": mut1["batch_stats"]},
                 real_motion,
                 True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dk2},
             )
+            fake_score = fake_score.astype(jnp.float32)
+            real_score = real_score.astype(jnp.float32)
             d_loss = mse(fake_score, jnp.full_like(fake_score, t_fake)) + mse(
                 real_score, jnp.full_like(real_score, t_real)
             )
-            return d_loss, mut2["batch_stats"]
+            return d_loss, self._cast_out(mut2["batch_stats"])
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["d_params"]
@@ -235,11 +278,14 @@ class GanTrainer:
 
     def _val_step_impl(self, state, x, y, feats):
         y_hat = self.generator.apply(
-            {"params": state["g_params"], "batch_stats": state["g_stats"]},
-            x,
-            feats,
+            {
+                "params": self._cast_in(state["g_params"]),
+                "batch_stats": self._cast_in(state["g_stats"]),
+            },
+            self._cast_in(x),
+            self._cast_in(feats) if feats is not None else None,
             False,
-        )
+        ).astype(jnp.float32)
         return self._reg(y_hat, y, state["robust"])
 
     # ------------------------------------------------------------------

@@ -105,6 +105,7 @@ def main(args):
         require_text=args.require_text,
         require_image=args.require_image,
         effective_gan=args.effective_gan,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     trainer = GanTrainer(cfg, mesh=mesh)
     state = trainer.init_state()
@@ -224,6 +225,7 @@ def build_parser():
     parser.add_argument('--loss', type=str, default="L1", help='Loss to optimize the generator over')
     parser.add_argument('--use_wandb', action="store_true", help="log to wandb in addition to local JSONL")
     parser.add_argument('--effective_gan', action="store_true", help="EXTENSION: give the adversarial term a real gradient (the reference detaches it)")
+    parser.add_argument('--bf16', action="store_true", help="EXTENSION: run model compute in bfloat16 (params/optimizer stay f32)")
     return parser
 
 
