@@ -112,6 +112,15 @@ class GanTrainer:
         self._g_step = jax.jit(self._g_step_impl, donate_argnums=(0,))
         self._d_step = jax.jit(self._d_step_impl, donate_argnums=(0,))
         self._val_step = jax.jit(self._val_step_impl)
+        self._epoch_scan = {
+            kind: jax.jit(
+                functools.partial(self._epoch_scan_impl, kind=kind),
+                static_argnames=("has_feats",),
+                # val must NOT donate: the caller keeps using the state
+                donate_argnums=(0,) if kind != "val" else (),
+            )
+            for kind in ("g", "d", "val")
+        }
 
     # ------------------------------------------------------------------
     # state
@@ -287,6 +296,42 @@ class GanTrainer:
             False,
         ).astype(jnp.float32)
         return self._reg(y_hat, y, state["robust"])
+
+    def _epoch_scan_impl(self, state, Xb, Yb, Fb, has_feats: bool, kind: str):
+        """A whole epoch as ONE XLA program: lax.scan of the step over
+        pre-batched (n_batches, B, T, D) arrays resident in HBM.  This is
+        the TPU-native fast path — no per-batch dispatch or host->device
+        transfer; use when the (possibly bf16) dataset fits device memory.
+        """
+
+        step = {"g": self._g_step_impl, "d": self._d_step_impl}.get(kind)
+
+        def body(st, batch):
+            x, y, f = batch
+            f = f if has_feats else None
+            if kind == "val":
+                return st, self._val_step_impl(st, x, y, f)
+            return step(st, x, y, f)
+
+        feats_scan = Fb if has_feats else jnp.zeros((Xb.shape[0], 1))
+        state, losses = jax.lax.scan(body, state, (Xb, Yb, feats_scan))
+        return state, jnp.mean(losses)
+
+    def run_epoch_scanned(self, state, X, Y, feats, kind: str, batch_size: int):
+        """Scan-mode run_epoch: same semantics (drop last partial batch),
+        one compile + one dispatch per epoch."""
+        nb = X.shape[0] // batch_size
+        n = nb * batch_size
+
+        def stack(a):
+            return jnp.asarray(a[:n].reshape((nb, batch_size) + a.shape[1:]))
+
+        Xb, Yb = stack(X), stack(Y)
+        Fb = stack(feats) if feats is not None else None
+        state, loss = self._epoch_scan[kind](
+            state, Xb, Yb, Fb, has_feats=feats is not None
+        )
+        return state, float(loss)
 
     # ------------------------------------------------------------------
     # host-side epoch driver helpers

@@ -109,6 +109,9 @@ def main(args):
     )
     trainer = GanTrainer(cfg, mesh=mesh)
     state = trainer.init_state()
+    run_epoch = (
+        trainer.run_epoch_scanned if args.epoch_scan else trainer.run_epoch
+    )
 
     last_checkpoint = None
     if args.use_checkpoint:
@@ -130,7 +133,7 @@ def main(args):
         if epoch > 0 and (
             args.epochs_train_disc == 0 or epoch % args.epochs_train_disc == 0
         ):
-            state, d_loss = trainer.run_epoch(
+            state, d_loss = run_epoch(
                 state, train_X, train_Y, train_feats, "d", args.batch_size
             )
             print(
@@ -139,7 +142,7 @@ def main(args):
             )
             sink.log({"epoch": epoch, "loss_train_disc": d_loss})
         else:
-            state, g_loss = trainer.run_epoch(
+            state, g_loss = run_epoch(
                 state, train_X, train_Y, train_feats, "g", args.batch_size
             )
             print(
@@ -149,7 +152,7 @@ def main(args):
             )
             sink.log({"epoch": epoch, "loss_train_gen": g_loss})
 
-            _, val_loss = trainer.run_epoch(
+            _, val_loss = run_epoch(
                 state, val_X, val_Y, val_feats, "val", max(args.batch_size // 2, 1)
             )
             print(
@@ -226,6 +229,7 @@ def build_parser():
     parser.add_argument('--use_wandb', action="store_true", help="log to wandb in addition to local JSONL")
     parser.add_argument('--effective_gan', action="store_true", help="EXTENSION: give the adversarial term a real gradient (the reference detaches it)")
     parser.add_argument('--bf16', action="store_true", help="EXTENSION: run model compute in bfloat16 (params/optimizer stay f32)")
+    parser.add_argument('--epoch_scan', action="store_true", help="EXTENSION: run each epoch as one XLA program (lax.scan over batches); needs the dataset resident in device memory")
     return parser
 
 
