@@ -104,6 +104,7 @@ def main(args):
         batch_size=args.batch_size,
         num_samples=args.num_samples,
         test_Y=test_Y,
+        bf16=args.bf16,
     )
     print(">>> TOTAL ERROR: ", error, flush=True)
 
@@ -149,6 +150,7 @@ def build_parser():
     parser.add_argument('--exp_name', type=str, default='experiment', help='experiment name')
     parser.add_argument('--model', type=str, default="v1", help='model architecture')
     parser.add_argument('--num_samples', type=int, default=3000, help='number of sequences to predict')
+    parser.add_argument('--bf16', action='store_true', help='EXTENSION: run the forward in bfloat16')
     return parser
 
 

@@ -45,17 +45,29 @@ def run_inference(
     num_samples: int = 3000,
     test_Y=None,
     mesh=None,
+    bf16: bool = False,
 ):
     """Eval-mode batched forward over (N, T, D) inputs.
 
     Returns (output (M, T, Dout), mean L1 error vs test_Y or None).
     Mirrors the reference's batching incl. the partial final batch and the
-    num_samples cap (inference.py:96-123).
+    num_samples cap (inference.py:96-123).  `bf16` runs the model compute
+    in bfloat16 (outputs cast back to f32).
     """
+    if bf16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            variables,
+        )
 
     @jax.jit
     def fwd(x, feats):
-        return module.apply(variables, x, feats, False)
+        if bf16:
+            x = x.astype(jnp.bfloat16)
+            feats = feats.astype(jnp.bfloat16) if feats is not None else None
+        return module.apply(variables, x, feats, False).astype(jnp.float32)
 
     outputs = []
     error = 0.0
