@@ -21,7 +21,8 @@ import time
 
 import numpy as np
 
-B = 256
+B = 2048  # TPU batch (throughput-optimal from a 256..2048 sweep)
+B_CPU = 256  # torch CPU baseline batch (its throughput is batch-flat)
 T = 192
 K = 20
 IN_DIM, OUT_DIM = 36, 252
@@ -68,7 +69,7 @@ def measure_torch_baseline() -> float:
         m = modelZoo.regressor_fcn_bn_32()
         m.build_net(IN_DIM, OUT_DIM, require_text=False)
         m.eval()
-        x = torch.randn(B, IN_DIM, T)
+        x = torch.randn(B_CPU, IN_DIM, T)
         with torch.no_grad():
             m(x)  # warm
             best = np.inf
@@ -76,7 +77,7 @@ def measure_torch_baseline() -> float:
                 t0 = time.time()
                 m(x)
                 best = min(best, time.time() - t0)
-        return B * T / best
+        return B_CPU * T / best
     except Exception:
         return RECORDED_CPU_BASELINE
 

@@ -84,3 +84,32 @@ def test_train_robust_loss_and_label_smooth(workdir, monkeypatch):
     )
     best = train_cli.main(args)
     assert np.isfinite(best)
+
+
+def test_train_infer_image_conditioned_b2h(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+    args = _train_args(
+        workdir, model="b2h", require_image=True, exp_name="e2e_b2h", num_epochs=2
+    )
+    best = train_cli.main(args)
+    assert np.isfinite(best)
+    iargs = inference_cli.build_parser().parse_args([])
+    iargs.checkpoint = os.path.join(workdir, "models", "e2e_b2h_checkpoint.pkl")
+    iargs.base_path = str(workdir)
+    iargs.data_dir = os.path.join(workdir, "video_data")
+    iargs.exp_name = "e2e_b2h"
+    iargs.model = "b2h"
+    iargs.require_image = True
+    iargs.batch_size = 4
+    iargs.seqs_to_viz = 0
+    err = inference_cli.main(iargs)
+    assert np.isfinite(err)
+
+
+def test_train_arm_wh2wh_pipeline(workdir, monkeypatch):
+    monkeypatch.chdir(workdir)
+    args = _train_args(
+        workdir, pipeline="arm_wh2wh", exp_name="e2e_awh", num_epochs=2
+    )
+    best = train_cli.main(args)
+    assert np.isfinite(best)
