@@ -109,7 +109,24 @@ def test_train_infer_image_conditioned_b2h(workdir, monkeypatch):
 def test_train_arm_wh2wh_pipeline(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(
-        workdir, pipeline="arm_wh2wh", exp_name="e2e_awh", num_epochs=2
+        workdir, pipeline="arm_wh2wh", exp_name="e2e_awh", num_epochs=2, default_size=64
     )
     best = train_cli.main(args)
+    assert np.isfinite(best)
+
+
+def test_resume_from_checkpoint(workdir, monkeypatch):
+    """--use_checkpoint picks up lastCheckpoint and keeps training
+    (reference train_gan.py:70-73 semantics)."""
+    monkeypatch.chdir(workdir)
+    args = _train_args(workdir, exp_name="e2e_resume", num_epochs=2, default_size=64)
+    train_cli.main(args)
+    args2 = _train_args(
+        workdir,
+        exp_name="e2e_resume",
+        num_epochs=2,
+        use_checkpoint=True,
+        default_size=64,
+    )
+    best = train_cli.main(args2)
     assert np.isfinite(best)

@@ -106,6 +106,7 @@ def main(args):
         require_image=args.require_image,
         effective_gan=args.effective_gan,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        default_size=args.default_size,
     )
     trainer = GanTrainer(cfg, mesh=mesh)
     state = trainer.init_state()
@@ -229,6 +230,7 @@ def build_parser():
     parser.add_argument('--use_wandb', action="store_true", help="log to wandb in addition to local JSONL")
     parser.add_argument('--effective_gan', action="store_true", help="EXTENSION: give the adversarial term a real gradient (the reference detaches it)")
     parser.add_argument('--bf16', action="store_true", help="EXTENSION: run model compute in bfloat16 (params/optimizer stay f32)")
+    parser.add_argument('--default_size', type=int, default=256, help='generator embed width (reference default 256)')
     parser.add_argument('--epoch_scan', action="store_true", help="EXTENSION: run each epoch as one XLA program (lax.scan over batches); needs the dataset resident in device memory")
     return parser
 
