@@ -21,6 +21,12 @@ import time
 
 import numpy as np
 
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.platform import (
+    ensure_platform_from_env,
+)
+
+ensure_platform_from_env()
+
 B = 2048  # TPU batch (throughput-optimal from a 256..2048 sweep)
 B_CPU = 256  # torch CPU baseline batch (its throughput is batch-flat)
 T = 192

@@ -94,6 +94,8 @@ def _load_h2s_split(
             categs = [v for _, v in sorted(id_categ.items())]
         else:
             categs = categ_lib.get_clips_categ(ids, id_categ)
+        # reference returns categs[:idx_max] (utils/utils.py:262)
+        categs = categs[:idx_max]
 
     clips, in_features, out_features = openpose.load_utterances_parallel(
         ids, json_dir, max_workers=max_workers
@@ -141,8 +143,10 @@ def obtain_vid_crops(
         clips = [video_lib.load_clip(os.path.join(vid_dir, i + ".mp4")) for i in sub]
         crops = video_lib.obtain_cropped_clips(clips, paths.json_dir(split), sub)
         save_binary(crops, f"{data_dir}/{split}_vid_crops_{start}-{start + chunk}.pkl")
+    files = glob.glob(f"{data_dir}/{split}_vid_crops_*.pkl")
+    files.sort(key=openpose.natural_keys)  # chunk order, not lexicographic
     crops = []
-    for f in sorted(glob.glob(f"{data_dir}/{split}_vid_crops_*.pkl")):
+    for f in files:
         crops += load_binary(f)
         os.remove(f)
     if return_crops:

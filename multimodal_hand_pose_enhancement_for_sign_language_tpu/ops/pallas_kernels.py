@@ -137,8 +137,8 @@ def filter_sgd(
 
 def _robust_kernel(x_ref, a_ref, c_ref, loss_ref, dx_ref):
     x = x_ref[:]
-    alpha = a_ref[:]
-    c = c_ref[:]
+    alpha = a_ref[0:1, :]  # one broadcast row per (1, D) parameter vector
+    c = c_ref[0:1, :]
     xc = x / c
     u = xc * xc
 
@@ -165,25 +165,34 @@ def _robust_kernel(x_ref, a_ref, c_ref, loss_ref, dx_ref):
     dx_ref[:] = jnp.where(is_zero, dx_zero, jnp.where(is_two, dx_two, dx_general))
 
 
-def _robust_fwd_pallas(x, alpha, scale, interpret):
-    """x (N, D); alpha/scale broadcastable (1, D) or scalars."""
+def _robust_fwd_pallas(x, alpha, scale, interpret, block_rows: int = 8):
+    """x (N, D); alpha/scale broadcastable (1, D) or scalars.
+
+    Tiled over row blocks so arbitrarily large batches never exceed VMEM;
+    alpha/scale ride along as a single broadcast row per block.
+    """
     N, D = x.shape
     d_pad = -(-D // 128) * 128
-    n_pad = -(-N // 8) * 8
+    n_pad = -(-N // block_rows) * block_rows
     xp = jnp.pad(x, ((0, n_pad - N), (0, d_pad - D)))
     a = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), (1, D))
     c = jnp.broadcast_to(jnp.asarray(scale, x.dtype), (1, D))
     # pad alpha with 2.0 / scale with 1.0 so padding lanes stay finite
     ap = jnp.pad(a, ((0, 0), (0, d_pad - D)), constant_values=2.0)
     cp = jnp.pad(c, ((0, 0), (0, d_pad - D)), constant_values=1.0)
-    ap = jnp.broadcast_to(ap, (n_pad, d_pad))
-    cp = jnp.broadcast_to(cp, (n_pad, d_pad))
+    ap = jnp.broadcast_to(ap, (8, d_pad))  # min f32 sublane tile
+    cp = jnp.broadcast_to(cp, (8, d_pad))
 
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (n_pad // block_rows,)
+    row_spec = pl.BlockSpec(
+        (block_rows, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    bcast_spec = pl.BlockSpec((8, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     loss, dx = pl.pallas_call(
         _robust_kernel,
-        in_specs=[spec] * 3,
-        out_specs=[spec] * 2,
+        grid=grid,
+        in_specs=[row_spec, bcast_spec, bcast_spec],
+        out_specs=[row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d_pad), x.dtype)] * 2,
         interpret=interpret,
     )(xp, ap, cp)

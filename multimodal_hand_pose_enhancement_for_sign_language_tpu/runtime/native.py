@@ -24,15 +24,24 @@ _build_failed = False
 
 
 def _build() -> bool:
+    """Build to a process-unique temp file and atomically rename, so
+    concurrent builds from ProcessPoolExecutor workers can't hand a
+    partially-written .so to dlopen."""
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -86,4 +95,6 @@ def parse_openpose_frame_bytes(buf: bytes):
     )
     if rc != 0:
         raise ValueError(f"native OpenPose parse failed with code {rc}")
-    return body, np.concatenate([rh, lh])
+    # match the Python json path's float64 rows so downstream pickles are
+    # dtype-identical regardless of toolchain availability
+    return body.astype(np.float64), np.concatenate([rh, lh]).astype(np.float64)

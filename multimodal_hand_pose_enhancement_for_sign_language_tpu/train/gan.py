@@ -108,6 +108,13 @@ class GanTrainer:
         else:
             self.adaptive = None
             self.reg_loss = losses_lib.get_loss(cfg.loss)
+        # fused Pallas Barron loss on real TPUs (identical math, one pass)
+        try:
+            self._fused_robust = (
+                self.adaptive is not None and jax.devices()[0].platform == "tpu"
+            )
+        except Exception:
+            self._fused_robust = False
 
         self._g_step = jax.jit(self._g_step_impl, donate_argnums=(0,))
         self._d_step = jax.jit(self._d_step_impl, donate_argnums=(0,))
@@ -179,6 +186,19 @@ class GanTrainer:
     def _reg(self, y_hat, y, robust_params):
         if self.adaptive is not None:
             resid = (y_hat - y).reshape(y_hat.shape[0], -1)
+            if self._fused_robust:
+                from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+                    pallas_kernels,
+                )
+
+                alpha = self.adaptive.alpha(robust_params)
+                scale = self.adaptive.scale(robust_params)
+                nll = (
+                    pallas_kernels.lossfun_pallas(resid, alpha, scale, False)
+                    + jnp.log(scale)
+                    + self.adaptive.distribution.log_base_partition_function(alpha)
+                )
+                return jnp.mean(nll)
             return jnp.mean(self.adaptive.lossfun(resid, robust_params))
         return self.reg_loss(y_hat, y)
 
@@ -322,9 +342,20 @@ class GanTrainer:
         one compile + one dispatch per epoch."""
         nb = X.shape[0] // batch_size
         n = nb * batch_size
+        if nb == 0:  # dataset smaller than a batch: match run_epoch's 0.0
+            return state, 0.0
+
+        shard = None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            n_data = self.mesh.shape["data"]
+            if batch_size % n_data == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.mesh, P(None, "data"))
 
         def stack(a):
-            return jnp.asarray(a[:n].reshape((nb, batch_size) + a.shape[1:]))
+            a = jnp.asarray(a[:n].reshape((nb, batch_size) + a.shape[1:]))
+            return jax.device_put(a, shard) if shard is not None else a
 
         Xb, Yb = stack(X), stack(Y)
         Fb = stack(feats) if feats is not None else None

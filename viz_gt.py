@@ -25,6 +25,13 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.viz import viz_3d  #
 
 
 def main(args):
+    # direct mode: visualize an existing xyz pickle (reference --file_path)
+    if args.file_path and os.path.exists(args.file_path):
+        xyz = load_binary(args.file_path)[: args.seqs_to_viz]
+        gifs = viz_3d.viz(xyz, frame_rate=2, results_dir=args.results_dir)
+        print(f"rendered {len(gifs)} GIFs from {args.file_path}", flush=True)
+        return gifs
+
     r6d_path = f"{args.data_dir}/r6d_{args.infer_set}.pkl"
     X, Y = win_lib.load_windows(r6d_path, args.pipeline)
     X, Y, _ = win_lib.rmv_clips_nan(
@@ -40,11 +47,12 @@ def main(args):
         infer_set=args.infer_set,
     )
     xyz = load_binary(xyz_path)[: args.seqs_to_viz]
-    gifs = viz_3d.viz(
-        xyz,
-        frame_rate=2,
-        results_dir=f"viz_results_{args.exp_name}_{args.infer_set}",
+    results_dir = (
+        args.results_dir
+        if args.results_dir != "viz_results"
+        else f"viz_results_{args.exp_name}_{args.infer_set}"
     )
+    gifs = viz_3d.viz(xyz, frame_rate=2, results_dir=results_dir)
     print(f"rendered {len(gifs)} GIFs", flush=True)
     return gifs
 
@@ -52,7 +60,7 @@ def main(args):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument('--base_path', type=str, default="./")
-    parser.add_argument('--file_path', type=str, default="results/_inference_xyz.pkl")
+    parser.add_argument('--file_path', type=str, default="", help='existing xyz pickle to visualize directly (skips save_results)')
     parser.add_argument('--seqs_to_viz', type=int, default=20)
     parser.add_argument('--pipeline', type=str, default='arm2wh')
     parser.add_argument('--results_dir', type=str, default="viz_results")
