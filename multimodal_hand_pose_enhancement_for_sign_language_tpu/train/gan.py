@@ -364,6 +364,26 @@ class GanTrainer:
         )
         return state, float(loss)
 
+    def grad_flow(self, state, x, y, feats=None):
+        """Per-layer |grad| stats of the generator loss — the wandb.watch
+        gradient-logging analog (reference train_gan.py:81,96 +
+        viz/track_grads.py)."""
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.viz import (
+            track_grads,
+        )
+
+        def loss_fn(g_params):
+            y_hat = self.generator.apply(
+                {"params": g_params, "batch_stats": state["g_stats"]},
+                jnp.asarray(x),
+                jnp.asarray(feats) if feats is not None else None,
+                False,
+            )
+            return self._reg(y_hat, y, state["robust"])
+
+        grads = jax.jit(jax.grad(loss_fn))(state["g_params"])
+        return track_grads.grad_flow_stats(grads)
+
     # ------------------------------------------------------------------
     # host-side epoch driver helpers
     # ------------------------------------------------------------------

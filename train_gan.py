@@ -161,6 +161,19 @@ def main(args):
                 flush=True,
             )
             sink.log({"loss_val_gen": val_loss})
+            if args.log_grad_flow and epoch % args.log_grad_flow == 0:
+                bs = min(args.batch_size, len(train_X))
+                stats = trainer.grad_flow(
+                    state,
+                    train_X[:bs],
+                    train_Y[:bs],
+                    train_feats[:bs] if train_feats is not None else None,
+                )
+                worst = max(stats.values(), key=lambda s: s["max"])
+                sink.log({"epoch": epoch, "event": "grad_flow", **{
+                    k: v["ave"] for k, v in stats.items()
+                }})
+                print(f"grad-flow: max |g| {worst['max']:.3e}", flush=True)
             g_sched.step(val_loss)
             d_sched.step(val_loss)
 
@@ -230,6 +243,7 @@ def build_parser():
     parser.add_argument('--use_wandb', action="store_true", help="log to wandb in addition to local JSONL")
     parser.add_argument('--effective_gan', action="store_true", help="EXTENSION: give the adversarial term a real gradient (the reference detaches it)")
     parser.add_argument('--bf16', action="store_true", help="EXTENSION: run model compute in bfloat16 (params/optimizer stay f32)")
+    parser.add_argument('--log_grad_flow', type=int, default=0, help='log per-layer gradient stats every N epochs (0 = off); the wandb.watch analog')
     parser.add_argument('--default_size', type=int, default=256, help='generator embed width (reference default 256)')
     parser.add_argument('--epoch_scan', action="store_true", help="EXTENSION: run each epoch as one XLA program (lax.scan over batches); needs the dataset resident in device memory")
     return parser
