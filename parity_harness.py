@@ -182,6 +182,42 @@ def config_multimodal(quick):
     report("multimodal_conditioning", "max_abs_err_vs_torch", worst, budget=1e-3)
 
 
+def config_save_conversions(quick):
+    """save_results geometry chain (r6d -> aa -> xyz) vs the reference's
+    own conversion_utils (Pool(24) scipy loops) on identical data —
+    the 'enhanced hand sequences' MPJPE of BASELINE.json."""
+    sys.path.append(os.path.join(REF, "utils"))
+    sys.path.append(os.path.join(REF, "3DposeEstimator"))
+    import conversion_utils as ref_conv
+    import skeletalModel as ref_skel
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+        kinematics,
+        rotations,
+    )
+
+    rng = np.random.RandomState(0)
+    n, T = (2, 24) if quick else (4, 96)
+    # geometrically valid r6d input via our FK chain
+    aa = rng.uniform(0.3, 1.0, size=(n, T, 144)).astype(np.float32)
+    r6d = np.stack(rotations.aa_to_rot6d(list(aa)))
+
+    ref_aa = np.array(ref_conv.rot6d_to_aa(r6d.astype(np.float64)))
+    ours_aa = np.array(rotations.rot6d_to_aa(r6d))
+    aa_err = float(np.abs(ours_aa - ref_aa).max())
+
+    structure = ref_skel.getSkeletalModelStructure()
+    root = np.array([0, 0, 0, 0, 1, 0], np.float32)
+    bone_len = rng.uniform(0.5, 1.5, size=(49,)).astype(np.float32)
+    ref_xyz = np.array(ref_conv.aa_to_xyz(ref_aa.astype(np.float32), root, bone_len, structure))
+    ours_xyz = np.array(kinematics.aa_to_xyz(ours_aa, root, bone_len, structure))
+    pts_r = ref_xyz.reshape(n, T, 50, 3)
+    pts_o = ours_xyz.reshape(n, T, 50, 3)
+    mpjpe = float(np.linalg.norm(pts_o - pts_r, axis=-1).mean())
+    report("save_conversions", "aa_max_err", aa_err, budget=1e-3)
+    report("save_conversions", "MPJPE_enhanced_xyz", mpjpe, budget=1e-3)
+
+
 def config_classifier(quick):
     """H2Sclassifier — LSTM classifier trains and evaluates on synthetic
     r6d data (accuracy sanity, not a parity metric)."""
@@ -220,6 +256,7 @@ def main():
         config_inference_forward,
         config_train_step,
         config_multimodal,
+        config_save_conversions,
         config_classifier,
     ):
         try:
