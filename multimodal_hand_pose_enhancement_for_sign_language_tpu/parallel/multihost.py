@@ -29,13 +29,19 @@ def initialize(coordinator_address: Optional[str] = None, **kwargs) -> bool:
     Returns True if multi-process mode is active.  Controlled by the
     standard env vars (JAX_COORDINATOR_ADDRESS etc.) or explicit args;
     silently stays single-process otherwise.
+
+    NB: must run before anything initializes the XLA backend, so this
+    function deliberately makes NO jax calls (not even process_count)
+    until after jax.distributed.initialize.
     """
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
-        return jax.process_count() > 1
-    if jax.process_count() > 1:
-        return True
-    jax.distributed.initialize(coordinator_address=addr, **kwargs)
+        return False
+    try:
+        jax.distributed.initialize(coordinator_address=addr, **kwargs)
+    except RuntimeError:
+        # already initialized (idempotent re-entry)
+        pass
     return jax.process_count() > 1
 
 

@@ -18,7 +18,6 @@ compile to a single program with 900 tiny collectives riding ICI.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +56,9 @@ def _halo_grads(s, left_nb, right_nb, axis_name, denom):
     return (2.0 * d - 2.0 * d_prev) / denom
 
 
+_COMPILED_CACHE: dict = {}
+
+
 def filter_xyz_time_sharded(
     x0,
     y0,
@@ -74,9 +76,24 @@ def filter_xyz_time_sharded(
     All arrays (T, nPoints) with T divisible by the axis size.  Semantics
     identical to lifting.filtering.filter_xyz (full-length clip, no
     padding mask).  Use for clips too long for one device or to spread a
-    single huge clip across the mesh.
+    single huge clip across the mesh.  The compiled program is cached per
+    (mesh, shape, lr, n_cycles) so per-clip dataset loops don't recompile.
     """
-    T, n_points = x0.shape
+    key = (mesh, axis_name, x0.shape, float(learning_rate), int(n_cycles))
+    if key in _COMPILED_CACHE:
+        fn = _COMPILED_CACHE[key]
+    else:
+        fn = _build_sharded(
+            x0.shape, mesh, axis_name, float(learning_rate), int(n_cycles)
+        )
+        _COMPILED_CACHE[key] = fn
+    spec = NamedSharding(mesh, P(axis_name, None))
+    args = [jax.device_put(jnp.asarray(a), spec) for a in (x0, y0, z0, tarx, tary, w)]
+    return fn(*args)
+
+
+def _build_sharded(shape, mesh, axis_name, learning_rate, n_cycles):
+    T, n_points = shape
     denom_data = jnp.float32(T * n_points)
     denom_smooth = jnp.float32((T - 1) * n_points)
     lr = jnp.float32(learning_rate)
@@ -113,6 +130,4 @@ def filter_xyz_time_sharded(
         in_specs=(P(axis_name, None),) * 6,
         out_specs=(P(axis_name, None),) * 3,
     )
-    spec = NamedSharding(mesh, P(axis_name, None))
-    args = [jax.device_put(jnp.asarray(a), spec) for a in (x0, y0, z0, tarx, tary, w)]
-    return jax.jit(sharded)(*args)
+    return jax.jit(sharded)

@@ -205,44 +205,48 @@ class GanTrainer:
     # ------------------------------------------------------------------
     # steps (all NLC: x (B, T, Din), y (B, T, Dout))
     # ------------------------------------------------------------------
-    def _g_step_impl(self, state, x, y, feats):
-        rng, dropout_rng = jax.random.split(state["rng"])
+    def _g_loss(self, g_params, state, x, y, feats, dropout_rng):
+        """The generator training loss — shared by the train step and the
+        grad-flow diagnostic so logged gradients are the training
+        gradients (incl. the adversarial term and train-mode BN/dropout).
+        Returns (loss, new_g_batch_stats)."""
         xc = self._cast_in(x)
         fc = self._cast_in(feats) if feats is not None else None
+        y_hat, mut = self.generator.apply(
+            {
+                "params": self._cast_in(g_params),
+                "batch_stats": self._cast_in(state["g_stats"]),
+            },
+            xc,
+            fc,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_rng},
+        )
+        y_hat = y_hat.astype(jnp.float32)
+        new_stats = self._cast_out(mut["batch_stats"])
+        fake_motion = self._cast_in(calc_motion(y_hat))
+        fake_score = self.discriminator.apply(
+            {
+                "params": self._cast_in(state["d_params"]),
+                "batch_stats": self._cast_in(state["d_stats"]),
+            },
+            fake_motion,
+            False,
+        ).astype(jnp.float32)
+        if not self.cfg.effective_gan:
+            # reference quirk: score computed under no_grad + detached
+            fake_score = jax.lax.stop_gradient(fake_score)
+        g_loss = self._reg(y_hat, y, state["robust"]) + mse(
+            fake_score, jnp.ones_like(fake_score)
+        )
+        return g_loss, new_stats
 
-        def loss_fn(g_params):
-            y_hat, mut = self.generator.apply(
-                {
-                    "params": self._cast_in(g_params),
-                    "batch_stats": self._cast_in(state["g_stats"]),
-                },
-                xc,
-                fc,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
-            )
-            y_hat = y_hat.astype(jnp.float32)
-            mut = {"batch_stats": self._cast_out(mut["batch_stats"])}
-            fake_motion = self._cast_in(calc_motion(y_hat))
-            fake_score = self.discriminator.apply(
-                {
-                    "params": self._cast_in(state["d_params"]),
-                    "batch_stats": self._cast_in(state["d_stats"]),
-                },
-                fake_motion,
-                False,
-            ).astype(jnp.float32)
-            if not self.cfg.effective_gan:
-                # reference quirk: score computed under no_grad + detached
-                fake_score = jax.lax.stop_gradient(fake_score)
-            g_loss = self._reg(y_hat, y, state["robust"]) + mse(
-                fake_score, jnp.ones_like(fake_score)
-            )
-            return g_loss, mut["batch_stats"]
+    def _g_step_impl(self, state, x, y, feats):
+        rng, dropout_rng = jax.random.split(state["rng"])
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["g_params"]
+        (loss, new_stats), grads = jax.value_and_grad(self._g_loss, has_aux=True)(
+            state["g_params"], state, x, y, feats, dropout_rng
         )
         updates, g_opt = self.g_tx.update(grads, state["g_opt"], state["g_params"])
         state["g_params"] = optax.apply_updates(state["g_params"], updates)
@@ -364,24 +368,34 @@ class GanTrainer:
         )
         return state, float(loss)
 
-    def grad_flow(self, state, x, y, feats=None):
-        """Per-layer |grad| stats of the generator loss — the wandb.watch
-        gradient-logging analog (reference train_gan.py:81,96 +
-        viz/track_grads.py)."""
+    def grad_flow(self, state, x, y, feats=None, rng=None):
+        """Per-layer |grad| stats of the ACTUAL training loss (train-mode
+        BN/dropout + adversarial term) — the wandb.watch gradient-logging
+        analog (reference train_gan.py:81,96 + viz/track_grads.py).
+        The gradient function is jitted once per feats-arity and takes all
+        data as arguments, so repeated logging epochs don't recompile."""
         from multimodal_hand_pose_enhancement_for_sign_language_tpu.viz import (
             track_grads,
         )
 
-        def loss_fn(g_params):
-            y_hat = self.generator.apply(
-                {"params": g_params, "batch_stats": state["g_stats"]},
-                jnp.asarray(x),
-                jnp.asarray(feats) if feats is not None else None,
-                False,
-            )
-            return self._reg(y_hat, y, state["robust"])
+        has_feats = feats is not None
+        if not hasattr(self, "_grad_flow_fn"):
+            self._grad_flow_fn = {}
+        if has_feats not in self._grad_flow_fn:
+            def gfn(state, x, y, feats, key):
+                return jax.grad(self._g_loss, has_aux=True)(
+                    state["g_params"], state, x, y, feats, key
+                )[0]
 
-        grads = jax.jit(jax.grad(loss_fn))(state["g_params"])
+            self._grad_flow_fn[has_feats] = jax.jit(gfn)
+        key = jax.random.PRNGKey(0) if rng is None else rng
+        grads = self._grad_flow_fn[has_feats](
+            state,
+            jnp.asarray(x),
+            jnp.asarray(y),
+            jnp.asarray(feats) if has_feats else None,
+            key,
+        )
         return track_grads.grad_flow_stats(grads)
 
     # ------------------------------------------------------------------

@@ -127,6 +127,7 @@ def main(args):
 
     curr_best = 1e9
     prev_save_epoch = 0
+    last_grad_flow_epoch = -(10**9)
     for epoch in range(args.num_epochs):
         if epoch > 100 and (epoch - prev_save_epoch) > args.patience:
             print(f"early stopping at: {epoch - 1}", flush=True)
@@ -161,19 +162,6 @@ def main(args):
                 flush=True,
             )
             sink.log({"loss_val_gen": val_loss})
-            if args.log_grad_flow and epoch % args.log_grad_flow == 0:
-                bs = min(args.batch_size, len(train_X))
-                stats = trainer.grad_flow(
-                    state,
-                    train_X[:bs],
-                    train_Y[:bs],
-                    train_feats[:bs] if train_feats is not None else None,
-                )
-                worst = max(stats.values(), key=lambda s: s["max"])
-                sink.log({"epoch": epoch, "event": "grad_flow", **{
-                    k: v["ave"] for k, v in stats.items()
-                }})
-                print(f"grad-flow: max |g| {worst['max']:.3e}", flush=True)
             g_sched.step(val_loss)
             d_sched.step(val_loss)
 
@@ -202,6 +190,21 @@ def main(args):
                         "d_stats": state["d_stats"],
                     },
                 )
+
+        if args.log_grad_flow and (epoch - last_grad_flow_epoch) >= args.log_grad_flow:
+            last_grad_flow_epoch = epoch
+            bs = min(args.batch_size, len(train_X))
+            stats = trainer.grad_flow(
+                state,
+                train_X[:bs],
+                train_Y[:bs],
+                train_feats[:bs] if train_feats is not None else None,
+            )
+            worst = max(stats.values(), key=lambda s: s["max"])
+            sink.log({"epoch": epoch, "event": "grad_flow", **{
+                k: v["ave"] for k, v in stats.items()
+            }})
+            print(f"grad-flow: max |g| {worst['max']:.3e}", flush=True)
 
         # per-epoch reshuffle (reference train_gan.py:113-119)
         I = np.arange(len(train_X))
