@@ -106,6 +106,28 @@ def _lift_batch(kps, masks, noises, n_cycles: int, use_pallas: bool):
 _BATCHED_CACHE: dict = {}
 
 
+def _lift_batch_sharded(kps, masks, noises, n_cycles, use_pallas, mesh):
+    """Clip-batch data parallelism: shard_map over the mesh 'data' axis —
+    the multi-chip replacement for the reference's Pool(24)-over-clips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    spec = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(jnp.asarray(a), spec) for a in (kps, masks, noises)]
+    return fn(*args)
+
+
 def use_pallas_default() -> bool:
     """Pallas filter on real TPUs; pure-XLA loop elsewhere (interpret-mode
     Pallas is far too slow for the 900-cycle production loop)."""
@@ -119,12 +141,22 @@ def use_pallas_default() -> bool:
         return False
 
 
-def _get_batched(n_cycles: int, use_pallas: bool):
-    key = (n_cycles, use_pallas)
+def _get_batched(n_cycles: int, use_pallas: bool, mesh=None):
+    key = (n_cycles, use_pallas, None if mesh is None else id(mesh))
     if key not in _BATCHED_CACHE:
-        _BATCHED_CACHE[key] = jax.jit(
-            partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas)
-        )
+        if mesh is not None and mesh.devices.size > 1:
+            _BATCHED_CACHE[key] = jax.jit(
+                partial(
+                    _lift_batch_sharded,
+                    n_cycles=n_cycles,
+                    use_pallas=use_pallas,
+                    mesh=mesh,
+                )
+            )
+        else:
+            _BATCHED_CACHE[key] = jax.jit(
+                partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas)
+            )
     return _BATCHED_CACHE[key]
 
 
@@ -153,8 +185,12 @@ def lift_clips(
     t_bucket: int = 64,
     max_batch: int = 128,
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> list:
-    """Lift a list of (T_i, 150) clips, shape-bucketed and batched."""
+    """Lift a list of (T_i, 150) clips, shape-bucketed and batched.
+
+    With `mesh`, the clip batch is sharded over the mesh 'data' axis
+    (shard_map) — the multi-chip replacement for Pool(24)-over-clips."""
     groups: dict = {}
     for i, c in enumerate(clips):
         c = np.asarray(c, np.float32)
@@ -164,7 +200,8 @@ def lift_clips(
     out = [None] * len(clips)
     if use_pallas is None:
         use_pallas = use_pallas_default()
-    fn = _get_batched(n_cycles, use_pallas)
+    n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+    fn = _get_batched(n_cycles, use_pallas, mesh=mesh)
     for tb, members in groups.items():
         for start in range(0, len(members), max_batch):
             chunk = members[start : start + max_batch]
@@ -172,6 +209,7 @@ def lift_clips(
             nb = 1
             while nb < n:
                 nb *= 2
+            nb = -(-nb // n_data) * n_data  # divisible across the mesh
             kps = np.zeros((nb, tb, 150), np.float32)
             masks = np.zeros((nb, tb), np.float32)
             noises = np.zeros((nb, 3, tb), np.float32)

@@ -1,0 +1,25 @@
+"""Mesh-sharded lifting (shard_map over clips) vs single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import engine
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import get_mesh
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_sharded_lifting_matches(rng):
+    kp = rng.uniform(100, 500, size=(30, 150)).astype(np.float32)
+    kp[:, 2::3] = rng.uniform(0.5, 1.0, size=(30, 50))
+    clips = [kp, kp[:20], kp[:25]]
+    single = engine.lift_clips(clips, n_cycles=15, use_pallas=False)
+    mesh = get_mesh(8)
+    sharded = engine.lift_clips(clips, n_cycles=15, use_pallas=False, mesh=mesh)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    # pallas filter under shard_map (interpret mode on CPU)
+    sharded_p = engine.lift_clips(clips, n_cycles=15, use_pallas=True, mesh=mesh)
+    for a, b in zip(single, sharded_p):
+        np.testing.assert_allclose(a, b, atol=2e-4)
