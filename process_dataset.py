@@ -73,6 +73,14 @@ def process_split(args, split: str):
     feats = openpose.hconcat_feats(neck, arms, hands)
     xy_path = os.path.join(args.data_dir, f"xy_{split}.pkl")
     save_binary(feats, xy_path)
+    # reference file-name contract (utils/utils.py:464-466):
+    # {groupByKey}_conf{keep_confidence}_xy_{split}.pkl
+    save_binary(
+        feats,
+        os.path.join(
+            args.data_dir, f"{args.group_by_clip}_confTrue_xy_{split}.pkl"
+        ),
+    )
     print(f"[{split}] wrote {xy_path}", flush=True)
 
     # text embeddings (precomputed-first: see data/text.py)
