@@ -100,8 +100,16 @@ def _load(args):
 
 def load_utterances_parallel(ids, directory, pipeline="arm2wh", max_workers=None):
     """Parallel fan-out over utterances (replaces ProcessPoolExecutor use
-    at utils/utils.py:248-249)."""
-    with ProcessPoolExecutor(max_workers=max_workers) as ex:
+    at utils/utils.py:248-249).
+
+    Uses a spawn multiprocessing context: forking a JAX-initialized
+    (multithreaded) process can deadlock, and ingestion often runs after
+    jax import."""
+    import multiprocessing as mp
+
+    with ProcessPoolExecutor(
+        max_workers=max_workers, mp_context=mp.get_context("spawn")
+    ) as ex:
         result = ex.map(_load, [(c, directory, pipeline) for c in ids])
     clips, in_features, out_features = map(list, zip(*result))
     return clips, in_features, out_features
