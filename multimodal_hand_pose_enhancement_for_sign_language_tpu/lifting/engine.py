@@ -111,10 +111,9 @@ def _lift_batch_sharded(kps, masks, noises, n_cycles, use_pallas, mesh):
     the multi-chip replacement for the reference's Pool(24)-over-clips."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel.sequence import (
+        shard_map,
+    )
 
     fn = shard_map(
         partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas),
@@ -142,7 +141,8 @@ def use_pallas_default() -> bool:
 
 
 def _get_batched(n_cycles: int, use_pallas: bool, mesh=None):
-    key = (n_cycles, use_pallas, None if mesh is None else id(mesh))
+    # Mesh is hashable: equal meshes share one compiled program
+    key = (n_cycles, use_pallas, mesh)
     if key not in _BATCHED_CACHE:
         if mesh is not None and mesh.devices.size > 1:
             _BATCHED_CACHE[key] = jax.jit(
@@ -223,10 +223,17 @@ def lift_clips(
     return out
 
 
-def lift_2d_to_3d(feats, filename: str = "feats_3d", nPartitions: int = 40, n_cycles: int = _N_CYCLES):
+def lift_2d_to_3d(
+    feats,
+    filename: str = "feats_3d",
+    nPartitions: int = 40,
+    n_cycles: int = _N_CYCLES,
+    mesh=None,
+):
     """Partitioned, resumable lifting over a clip list — the reference's
     file contract (utils/utils.py:120-137): results are appended to
-    `filename` one partition at a time, so a crashed run resumes."""
+    `filename` one partition at a time, so a crashed run resumes.
+    `mesh` shards each partition's clip batch across chips."""
     feats_3d = []
     if os.path.exists(filename):
         print(f" -> Found file with name {filename}. Appending results.", flush=True)
@@ -239,7 +246,7 @@ def lift_2d_to_3d(feats, filename: str = "feats_3d", nPartitions: int = 40, n_cy
             continue
         if min(idx * (i + 1), len(feats)) <= done:
             continue  # partition already lifted in a previous run
-        lifted = lift_clips(chunk, n_cycles=n_cycles)
+        lifted = lift_clips(chunk, n_cycles=n_cycles, mesh=mesh)
         feats_3d = feats_3d + lifted
         save_binary(feats_3d, filename)
         print(f"LIFTED {int((i + 1) / nPartitions * 100)}%", flush=True)

@@ -39,9 +39,12 @@ def initialize(coordinator_address: Optional[str] = None, **kwargs) -> bool:
         return False
     try:
         jax.distributed.initialize(coordinator_address=addr, **kwargs)
-    except RuntimeError:
-        # already initialized (idempotent re-entry)
-        pass
+    except RuntimeError as e:
+        # idempotent re-entry is fine; any other bootstrap failure must
+        # surface — silently degrading to single-process would train
+        # independent replicas per host
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 

@@ -251,6 +251,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small shapes/cycles")
     args = parser.parse_args()
+    # the reference's conversion code opens a fork-based Pool(24); forking
+    # a JAX-initialized (multithreaded) process can deadlock, so force
+    # spawn workers before any config runs
+    import multiprocessing
+
+    try:
+        multiprocessing.set_start_method("spawn", force=True)
+    except RuntimeError:
+        pass
     for fn in (
         config_lifting,
         config_inference_forward,

@@ -73,15 +73,21 @@ def process_split(args, split: str):
     feats = openpose.hconcat_feats(neck, arms, hands)
     xy_path = os.path.join(args.data_dir, f"xy_{split}.pkl")
     save_binary(feats, xy_path)
-    # reference file-name contract (utils/utils.py:464-466):
-    # {groupByKey}_conf{keep_confidence}_xy_{split}.pkl
-    save_binary(
-        feats,
-        os.path.join(
-            args.data_dir, f"{args.group_by_clip}_confTrue_xy_{split}.pkl"
-        ),
-    )
-    print(f"[{split}] wrote {xy_path}", flush=True)
+    # reference file-name contract (utils/utils.py:431-434,464-466):
+    # {groupByKey}_conf{keep_confidence}_xy_{split}.pkl with groupByKey
+    # "True" when grouping and "" otherwise; hard-link to avoid a second
+    # multi-GB pickle write
+    group_key = "True" if args.group_by_clip else ""
+    ref_path = os.path.join(args.data_dir, f"{group_key}_confTrue_xy_{split}.pkl")
+    if os.path.exists(ref_path):
+        os.unlink(ref_path)
+    try:
+        os.link(xy_path, ref_path)
+    except OSError:
+        import shutil
+
+        shutil.copyfile(xy_path, ref_path)
+    print(f"[{split}] wrote {xy_path} (+ {os.path.basename(ref_path)})", flush=True)
 
     # text embeddings (precomputed-first: see data/text.py)
     if os.path.exists(text_path):
@@ -105,9 +111,23 @@ def process_split(args, split: str):
         save_binary(categs, os.path.join(args.data_dir, f"categs_{split}.pkl"))
 
     if args.lift:
+        mesh = None
+        import jax
+
+        if len(jax.devices()) > 1:
+            from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import (
+                get_mesh,
+            )
+
+            mesh = get_mesh()
+            print(f"[{split}] lifting over mesh {mesh}", flush=True)
         xyz_path = os.path.join(args.data_dir, f"xyz_{split}.pkl")
         lift_engine.lift_2d_to_3d(
-            feats, xyz_path, nPartitions=args.n_partitions, n_cycles=args.n_cycles
+            feats,
+            xyz_path,
+            nPartitions=args.n_partitions,
+            n_cycles=args.n_cycles,
+            mesh=mesh,
         )
         print(f"[{split}] lifted -> {xyz_path}", flush=True)
 
@@ -140,7 +160,7 @@ if __name__ == "__main__":
     parser.add_argument("--categ_path_template", type=str, default="videoID_categoryID_{split}.csv", help="per-split category csv")
     parser.add_argument("--text_method", type=str, default="precomputed", help="text embedding method (precomputed|BERTsentence|clip|BERTword)")
     parser.add_argument("--subset", type=float, default=1.0, help="fraction of utterances to keep")
-    parser.add_argument("--group_by_clip", action="store_true", default=True, help="group utterances into videos (reference default)")
+    parser.add_argument("--group_by_clip", action=argparse.BooleanOptionalAction, default=True, help="group utterances into videos (reference default); --no-group_by_clip for utterance-level")
     parser.add_argument("--lift", action="store_true", help="run 2D->3D lifting + r6d conversion")
     parser.add_argument("--n_partitions", type=int, default=40, help="lifting checkpoint partitions")
     parser.add_argument("--n_cycles", type=int, default=900, help="lifting SGD cycles")
