@@ -22,3 +22,30 @@ multimodal_hand_pose_enhancement_for_sign_language_tpu as mhpe``.
 __version__ = "0.1.0"
 
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils import constants  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API: mhpe.lift_2d_to_3d, mhpe.build_generator, ...
+
+    Submodules import lazily so `import mhpe` stays cheap (no jax/flax
+    import until a model or lifting symbol is touched).
+    """
+    import importlib
+
+    _API = {
+        "lift_2d_to_3d": ("lifting.engine", "lift_2d_to_3d"),
+        "lift_clips": ("lifting.engine", "lift_clips"),
+        "build_generator": ("models.registry", "build_generator"),
+        "build_discriminator": ("models.registry", "build_discriminator"),
+        "load_windows": ("data.windows", "load_windows"),
+        "save_results": ("infer", "save_results"),
+        "run_inference": ("infer", "run_inference"),
+        "GanTrainer": ("train.gan", "GanTrainer"),
+        "GanConfig": ("train.gan", "GanConfig"),
+        "get_mesh": ("parallel.mesh", "get_mesh"),
+    }
+    if name in _API:
+        mod_name, attr = _API[name]
+        mod = importlib.import_module(f"{__name__}.{mod_name}")
+        return getattr(mod, attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
