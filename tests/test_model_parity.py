@@ -134,6 +134,60 @@ def test_shapes_at_full_size(rng):
     assert y.shape == (2, 252, 192)
 
 
+def test_gradient_parity_vs_torch_autograd(rng):
+    """d L1(G(x), y) / d params in eval mode (running BN stats, no
+    dropout): our conv/conv-transpose/BN backward must match torch
+    autograd with ported weights."""
+    torch.manual_seed(1)
+    ref_model = ref_zoo.regressor_fcn_bn_32()
+    ref_model.build_net(IN_DIM, OUT_DIM, require_text=False, default_size=DS)
+    _randomize_running_stats(ref_model, rng)
+    ref_model.eval()
+
+    x = rng.randn(B, IN_DIM, T).astype(np.float32)
+    y = rng.randn(B, OUT_DIM, T).astype(np.float32)
+
+    tx = torch.from_numpy(x)
+    ty = torch.from_numpy(y)
+    out = ref_model(tx)
+    loss = torch.nn.L1Loss()(out, ty)
+    loss.backward()
+    t_grads = {k: p.grad.numpy() for k, p in ref_model.named_parameters()}
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = torch_port.generator_from_torch_state(sd)
+    module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
+
+    import jax.numpy as jnp
+
+    def loss_fn(params):
+        yh = module.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.swapaxes(jnp.asarray(x), 1, 2),
+            None,
+            False,
+        )
+        return jnp.mean(jnp.abs(jnp.swapaxes(yh, 1, 2) - jnp.asarray(y)))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+
+    checks = [
+        ("encoder.1.weight", grads["encoder"]["Conv1d_0"]["kernel"], (2, 1, 0)),
+        ("conv7.1.weight", grads["conv7"]["Conv1d_0"]["kernel"], (2, 1, 0)),
+        ("decoder.5.weight", grads["decoder"]["ConvTranspose1d_0"]["kernel"], (2, 0, 1)),
+        ("decoder.9.bias", grads["decoder"]["Conv1d_0"]["bias"], None),
+        ("skip4.3.weight", grads["skip4"]["BatchNorm_0"]["scale"], None),
+    ]
+    for t_key, ours, perm in checks:
+        ref_g = t_grads[t_key]
+        ours_np = np.asarray(ours)
+        if perm is not None:
+            ref_g = np.transpose(ref_g, perm)
+        np.testing.assert_allclose(
+            ours_np, ref_g, atol=2e-5, rtol=1e-3, err_msg=t_key
+        )
+
+
 def test_train_mode_updates_batch_stats(rng):
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
     variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=B, T=T)
