@@ -96,6 +96,16 @@ def main(args):
             "batch_stats": loaded["state"]["g_stats"],
         }
 
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1:
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import (
+            get_mesh,
+        )
+
+        mesh = get_mesh()
+        print(f"===> data-parallel inference over mesh {mesh}", flush=True)
     output, error = infer_lib.run_inference(
         module,
         variables,
@@ -105,6 +115,7 @@ def main(args):
         num_samples=args.num_samples,
         test_Y=test_Y,
         bf16=args.bf16,
+        mesh=mesh,
     )
     print(">>> TOTAL ERROR: ", error, flush=True)
 

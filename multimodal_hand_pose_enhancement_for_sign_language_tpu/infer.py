@@ -69,14 +69,29 @@ def run_inference(
             feats = feats.astype(jnp.bfloat16) if feats is not None else None
         return module.apply(variables, x, feats, False).astype(jnp.float32)
 
+    def to_device(a):
+        """Shard full batches over the mesh 'data' axis (the multi-chip
+        replacement for nn.DataParallel, reference inference.py:45-47)."""
+        if (
+            mesh is not None
+            and mesh.devices.size > 1
+            and a.shape[0] % mesh.shape["data"] == 0
+        ):
+            from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import (
+                shard_batch,
+            )
+
+            return shard_batch(jnp.asarray(a), mesh)
+        return jnp.asarray(a)
+
     outputs = []
     error = 0.0
     total_steps = 0
     n = min(test_X.shape[0], num_samples)
     for start in range(0, n, batch_size):
         end = min(start + batch_size, test_X.shape[0])
-        x = jnp.asarray(test_X[start:end])
-        f = None if test_feats is None else jnp.asarray(test_feats[start:end])
+        x = to_device(test_X[start:end])
+        f = None if test_feats is None else to_device(test_feats[start:end])
         y = np.asarray(fwd(x, f))
         outputs.append(y)
         total_steps += 1

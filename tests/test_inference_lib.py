@@ -34,6 +34,24 @@ def test_num_samples_cap(rng):
     assert out.shape[0] == 8
 
 
+def test_mesh_inference_matches_single_device(rng):
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import (
+        get_mesh,
+    )
+
+    module, variables, X, Y = _setup(rng, n=8)
+    single, _ = infer_lib.run_inference(module, variables, X, batch_size=8)
+    sharded, _ = infer_lib.run_inference(
+        module, variables, X, batch_size=8, mesh=get_mesh(8)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_bf16_close_to_f32(rng):
     module, variables, X, _ = _setup(rng, n=4)
     out32, _ = infer_lib.run_inference(module, variables, X, batch_size=4)
