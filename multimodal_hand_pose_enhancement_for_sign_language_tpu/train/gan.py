@@ -128,6 +128,14 @@ class GanTrainer:
             )
             for kind in ("g", "d", "val")
         }
+        self._epoch_scan_resident = {
+            kind: jax.jit(
+                functools.partial(self._epoch_scan_resident_impl, kind=kind),
+                static_argnames=("has_feats", "batch_size"),
+                donate_argnums=(0,) if kind != "val" else (),
+            )
+            for kind in ("g", "d", "val")
+        }
 
     # ------------------------------------------------------------------
     # state
@@ -340,6 +348,57 @@ class GanTrainer:
         feats_scan = Fb if has_feats else jnp.zeros((Xb.shape[0], 1))
         state, losses = jax.lax.scan(body, state, (Xb, Yb, feats_scan))
         return state, jnp.mean(losses)
+
+    def _epoch_scan_resident_impl(
+        self, state, X, Y, F, perm, has_feats: bool, batch_size: int, kind: str
+    ):
+        """Device-resident epoch scan: the dataset lives in HBM across
+        epochs; only the shuffle permutation (N int32s) crosses the host
+        boundary each epoch.  The gather + batching happen on device, so
+        the reference's host-RandomState shuffle semantics are preserved
+        without re-uploading gigabytes per epoch."""
+        nb = X.shape[0] // batch_size
+        n = nb * batch_size
+
+        def shuffle_batch(a):
+            return a[perm][:n].reshape((nb, batch_size) + a.shape[1:])
+
+        Xb = shuffle_batch(X)
+        Yb = shuffle_batch(Y)
+        Fb = shuffle_batch(F) if has_feats else None
+        return self._epoch_scan_impl(state, Xb, Yb, Fb, has_feats, kind)
+
+    def stage(self, X, Y, feats=None):
+        """Move the full (N, T, D) dataset to device memory once (sharded
+        over the mesh 'data' axis when available) for resident epoch
+        scans."""
+        def put(a):
+            if a is None:
+                return None
+            a = jnp.asarray(a)
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                n_data = self.mesh.shape["data"]
+                if a.shape[0] % n_data == 0:
+                    return mesh_lib.shard_batch(a, self.mesh)
+            return jax.device_put(a)
+
+        return put(X), put(Y), put(feats)
+
+    def run_epoch_resident(self, state, X_dev, Y_dev, F_dev, perm, kind, batch_size):
+        """Epoch over staged device data with a host-provided permutation
+        (pass np.arange(N) for no shuffle, e.g. validation)."""
+        if X_dev.shape[0] // batch_size == 0:
+            return state, 0.0
+        state, loss = self._epoch_scan_resident[kind](
+            state,
+            X_dev,
+            Y_dev,
+            F_dev,
+            jnp.asarray(perm),
+            has_feats=F_dev is not None,
+            batch_size=batch_size,
+        )
+        return state, float(loss)
 
     def run_epoch_scanned(self, state, X, Y, feats, kind: str, batch_size: int):
         """Scan-mode run_epoch: same semantics (drop last partial batch),

@@ -110,9 +110,26 @@ def main(args):
     )
     trainer = GanTrainer(cfg, mesh=mesh)
     state = trainer.init_state()
-    run_epoch = (
-        trainer.run_epoch_scanned if args.epoch_scan else trainer.run_epoch
-    )
+    if args.epoch_scan:
+        # device-resident fast path: stage the dataset in HBM once; only
+        # the reference-exact shuffle permutation crosses the host
+        # boundary per epoch
+        trX, trY, trF = trainer.stage(train_X, train_Y, train_feats)
+        vaX, vaY, vaF = trainer.stage(val_X, val_Y, val_feats)
+        order = np.arange(len(train_X))
+        val_order = np.arange(len(val_X))
+
+        def run_epoch(state, X, Y, F, kind, batch_size):
+            if kind == "val":
+                return trainer.run_epoch_resident(
+                    state, vaX, vaY, vaF, val_order, kind, batch_size
+                )
+            return trainer.run_epoch_resident(
+                state, trX, trY, trF, order, kind, batch_size
+            )
+
+    else:
+        run_epoch = trainer.run_epoch
 
     last_checkpoint = None
     if args.use_checkpoint:
@@ -209,9 +226,12 @@ def main(args):
         # per-epoch reshuffle (reference train_gan.py:113-119)
         I = np.arange(len(train_X))
         rng.shuffle(I)
-        train_X, train_Y = train_X[I], train_Y[I]
-        if train_feats is not None:
-            train_feats = train_feats[I]
+        if args.epoch_scan:
+            order = order[I]  # compose permutations; data stays on device
+        else:
+            train_X, train_Y = train_X[I], train_Y[I]
+            if train_feats is not None:
+                train_feats = train_feats[I]
 
     if last_checkpoint:
         shutil.copyfile(
