@@ -58,6 +58,34 @@ def test_epoch_scan_matches_per_batch(rng):
     assert abs(v1 - v2) < 1e-4
 
 
+def test_resident_epoch_matches_per_batch(rng):
+    """Staged-data + permutation epochs == host-reshuffled per-batch
+    epochs, across a shuffle boundary."""
+    X = rng.randn(12, 32, 12).astype(np.float32)
+    Y = rng.randn(12, 32, 24).astype(np.float32)
+    shuf = np.random.RandomState(23456)
+    I = np.arange(12)
+    shuf.shuffle(I)
+
+    tr1 = GanTrainer(GanConfig(batch_size=4, **TINY))
+    s1 = tr1.init_state()
+    s1, a1 = tr1.run_epoch(s1, X, Y, None, "g", 4)
+    s1, b1 = tr1.run_epoch(s1, X[I], Y[I], None, "g", 4)
+
+    tr2 = GanTrainer(GanConfig(batch_size=4, **TINY))
+    s2 = tr2.init_state()
+    dX, dY, dF = tr2.stage(X, Y, None)
+    order = np.arange(12)
+    s2, a2 = tr2.run_epoch_resident(s2, dX, dY, dF, order, "g", 4)
+    order = order[I]
+    s2, b2 = tr2.run_epoch_resident(s2, dX, dY, dF, order, "g", 4)
+
+    assert abs(a1 - a2) < 1e-5
+    assert abs(b1 - b2) < 1e-5
+    # staged arrays survive repeated (donating) epochs
+    s2, _ = tr2.run_epoch_resident(s2, dX, dY, dF, order, "d", 4)
+
+
 def test_epoch_scan_with_feats(rng):
     X = rng.randn(8, 32, 12).astype(np.float32)
     Y = rng.randn(8, 32, 24).astype(np.float32)
