@@ -133,7 +133,8 @@ def main(args):
     )
     print("Saved results.", flush=True)
 
-    # viz
+    # viz (+ artifact upload, the reference's wandb.save at
+    # inference.py:150-152, via the pluggable metrics sink)
     if args.seqs_to_viz > 0 and xyz_path:
         xyz = load_binary(xyz_path)[: args.seqs_to_viz]
         gifs = viz_3d.viz(
@@ -142,6 +143,16 @@ def main(args):
             results_dir=f"viz_results_{args.exp_name}_{args.infer_set}",
         )
         print(f"rendered {len(gifs)} GIFs", flush=True)
+        if args.use_wandb:
+            from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.metrics import (
+                MetricsSink,
+            )
+
+            sink = MetricsSink(args.exp_name, use_wandb=True)
+            sink.log({"event": "inference", "error": error, "gifs": len(gifs)})
+            for path in gifs:
+                sink.save_file(path)
+            sink.close()
     return error
 
 
@@ -162,6 +173,7 @@ def build_parser():
     parser.add_argument('--model', type=str, default="v1", help='model architecture')
     parser.add_argument('--num_samples', type=int, default=3000, help='number of sequences to predict')
     parser.add_argument('--bf16', action='store_true', help='EXTENSION: run the forward in bfloat16')
+    parser.add_argument('--use_wandb', action='store_true', help='upload GIFs/metrics to wandb when available')
     return parser
 
 
