@@ -42,10 +42,23 @@ class ClassifLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, seq, train: bool = False):
-        """(B, T, D) -> (B, T, num_classes) per-timestep logits."""
+        """(B, T, D) -> (B, T, num_classes) per-timestep logits.
+
+        torch nn.LSTM carries DUAL biases (bias_ih + bias_hh), each a
+        separate Adam parameter.  Because Adam is elementwise, that
+        parameterization is reproduced exactly by appending a constant-1
+        feature to each layer's input: the extra input-kernel row is
+        bias_ih (trained per-entry just like torch's), while the cell's
+        own recurrent bias is bias_hh.  This makes both eval outputs AND
+        post-Adam training dynamics match torch (see
+        tests/test_classifier.py::test_classif_lstm_train_step_parity).
+        """
         init = _lstm_uniform(self.hidden_size)
         h = seq
         for layer in range(self.num_layers):
+            ones = jnp.ones(h.shape[:-1] + (1,), h.dtype)
+            inp = jnp.concatenate([h, ones], axis=-1)
+
             def run(name, reverse):
                 cell = nn.OptimizedLSTMCell(
                     self.hidden_size,
@@ -55,7 +68,7 @@ class ClassifLSTM(nn.Module):
                     name=f"{name}_cell",
                 )
                 rnn = nn.RNN(cell, reverse=reverse, keep_order=True, name=name)
-                return rnn(h)
+                return rnn(inp)
 
             fwd = run(f"lstm{layer}_f", False)
             if self.bidirectional:

@@ -53,7 +53,7 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBlock(x.shape[-1], 3, 1, 1)(x, train)
+        x = ConvBlock(x.shape[-1], 3, 1, 1, dropout=self.dropout)(x, train)
         x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         x = ConvTranspose1d(self.out_dim, 7, stride=2, padding=3, output_padding=1)(x)
         x = nn.relu(x)
@@ -70,6 +70,7 @@ class regressor_fcn_bn_32(nn.Module):
     feature_out_dim: int
     require_text: bool = False
     default_size: int = 256
+    dropout_rate: float = 0.5
 
     def _embed_size(self):
         return self.default_size * (2 if self.require_text else 1)
@@ -79,28 +80,30 @@ class regressor_fcn_bn_32(nn.Module):
         B, T, _ = x.shape
         embed = self._embed_size()
 
-        fourth = ConvBlock(self.default_size, 3, 1, 1, pool=True, name="encoder")(
+        fourth = ConvBlock(self.default_size, 3, 1, 1, pool=True, dropout=self.dropout_rate, name="encoder")(
             x, train
         )
         if self.require_text:
             # (B, E) -> tile over T -> Linear/BN on (B*T, E) -> maxpool/2
             text = jnp.repeat(feats[:, None, :], T, axis=1).reshape(-1, feats.shape[-1])
-            feat = FeatEmbedBlock(self.default_size, name="text_embeds_postprocess")(
-                text, train
-            ).reshape(B, T, self.default_size)
+            feat = FeatEmbedBlock(
+                self.default_size,
+                dropout=self.dropout_rate,
+                name="text_embeds_postprocess",
+            )(text, train).reshape(B, T, self.default_size)
             feat = max_pool_time(feat)
             fourth = jnp.concatenate([fourth, feat], axis=-1)
 
-        fifth = ConvBlock(embed, 3, 1, 1, name="conv5")(fourth, train)
-        sixth = ConvBlock(embed, 3, 1, 1, name="conv6")(fifth, train)
-        seventh = ConvBlock(embed, 5, 2, 2, name="conv7")(sixth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv5")(fourth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv6")(fifth, train)
+        seventh = ConvBlock(embed, 5, 2, 2, dropout=self.dropout_rate, name="conv7")(sixth, train)
 
         sixth = upsample_repeat(seventh, sixth.shape[1]) + sixth
-        sixth = ConvBlock(embed, 3, 1, 1, name="skip4")(sixth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip4")(sixth, train)
         fifth = sixth + fifth
-        fifth = ConvBlock(embed, 3, 1, 1, name="skip5")(fifth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip5")(fifth, train)
 
-        return Decoder(self.feature_out_dim, name="decoder")(fifth, train)
+        return Decoder(self.feature_out_dim, dropout=self.dropout_rate, name="decoder")(fifth, train)
 
 
 class regressor_fcn_bn_32_b2h(nn.Module):
@@ -110,6 +113,7 @@ class regressor_fcn_bn_32_b2h(nn.Module):
     feature_out_dim: int
     require_image: bool = False
     default_size: int = 256
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, feats=None, train: bool = False):
@@ -119,26 +123,28 @@ class regressor_fcn_bn_32_b2h(nn.Module):
         # NB: the reference hard-codes 256 encoder channels here
         # (modelZoo.py:31) regardless of default_size — b2h is only
         # shape-consistent at default_size=256; reproduced faithfully.
-        fourth = ConvBlock(256, 3, 1, 1, pool=True, name="encoder")(x, train)
+        fourth = ConvBlock(256, 3, 1, 1, pool=True, dropout=self.dropout_rate, name="encoder")(x, train)
         if self.require_image:
             # feats: (B, T, 2000) per-frame -> Linear/BN -> maxpool/2
             img = feats.reshape(-1, feats.shape[-1])
             feat = FeatEmbedBlock(
-                self.default_size, name="image_resnet_postprocess"
+                self.default_size,
+                dropout=self.dropout_rate,
+                name="image_resnet_postprocess",
             )(img, train).reshape(B, T, self.default_size)
             feat = max_pool_time(feat)
             fourth = jnp.concatenate([fourth, feat], axis=-1)
 
-        fifth = ConvBlock(embed, 3, 1, 1, name="conv5")(fourth, train)
-        sixth = ConvBlock(embed, 3, 1, 1, name="conv6")(fifth, train)
-        seventh = ConvBlock(embed, 5, 2, 2, name="conv7")(sixth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv5")(fourth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv6")(fifth, train)
+        seventh = ConvBlock(embed, 5, 2, 2, dropout=self.dropout_rate, name="conv7")(sixth, train)
 
         sixth = upsample_repeat(seventh, sixth.shape[1]) + sixth
-        sixth = ConvBlock(embed, 3, 1, 1, name="skip4")(sixth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip4")(sixth, train)
         fifth = sixth + fifth
-        fifth = ConvBlock(embed, 3, 1, 1, name="skip5")(fifth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip5")(fifth, train)
 
-        return Decoder(self.feature_out_dim, name="decoder")(fifth, train)
+        return Decoder(self.feature_out_dim, dropout=self.dropout_rate, name="decoder")(fifth, train)
 
 
 class regressor_fcn_bn_32_v2(nn.Module):
@@ -149,29 +155,30 @@ class regressor_fcn_bn_32_v2(nn.Module):
     feature_out_dim: int
     require_text: bool = False
     default_size: int = 256
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, feats=None, train: bool = False):
         B, T, _ = x.shape
         embed = self.default_size * (2 if self.require_text else 1)
 
-        fourth = ConvBlock(embed, 3, 1, 1, pool=True, name="encoder")(x, train)
-        fifth = ConvBlock(embed, 3, 1, 1, name="conv5")(fourth, train)
-        sixth = ConvBlock(embed, 3, 1, 1, name="conv6")(fifth, train)
-        seventh = ConvBlock(embed, 5, 2, 2, name="conv7")(sixth, train)
+        fourth = ConvBlock(embed, 3, 1, 1, pool=True, dropout=self.dropout_rate, name="encoder")(x, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv5")(fourth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv6")(fifth, train)
+        seventh = ConvBlock(embed, 5, 2, 2, dropout=self.dropout_rate, name="conv7")(sixth, train)
 
         if self.require_text:
-            feat = FeatEmbedBlock(embed, name="text_embeds_postprocess")(
-                feats, train
-            )  # (B, embed)
+            feat = FeatEmbedBlock(
+                embed, dropout=self.dropout_rate, name="text_embeds_postprocess"
+            )(feats, train)  # (B, embed)
             seventh = jnp.concatenate([seventh, feat[:, None, :]], axis=1)
 
         sixth = upsample_repeat(seventh, sixth.shape[1]) + sixth
-        sixth = ConvBlock(embed, 3, 1, 1, name="skip4")(sixth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip4")(sixth, train)
         fifth = sixth + fifth
-        fifth = ConvBlock(embed, 3, 1, 1, name="skip5")(fifth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip5")(fifth, train)
 
-        return Decoder(self.feature_out_dim, name="decoder")(fifth, train)
+        return Decoder(self.feature_out_dim, dropout=self.dropout_rate, name="decoder")(fifth, train)
 
 
 class regressor_fcn_bn_32_v4(nn.Module):
@@ -182,6 +189,7 @@ class regressor_fcn_bn_32_v4(nn.Module):
     feature_out_dim: int
     require_text: bool = False
     default_size: int = 256
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, feats=None, train: bool = False):
@@ -189,27 +197,27 @@ class regressor_fcn_bn_32_v4(nn.Module):
         embed = self.default_size * (2 if self.require_text else 1)
         bottleneck = embed // (1 + int(self.require_text))
 
-        fourth = ConvBlock(embed, 3, 1, 1, pool=True, name="encoder")(x, train)
-        fifth = ConvBlock(embed, 3, 1, 1, name="conv5")(fourth, train)
-        sixth = ConvBlock(embed, 3, 1, 1, name="conv6")(fifth, train)
-        seventh = ConvBlock(bottleneck, 5, 2, 2, name="conv7")(sixth, train)
+        fourth = ConvBlock(embed, 3, 1, 1, pool=True, dropout=self.dropout_rate, name="encoder")(x, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv5")(fourth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv6")(fifth, train)
+        seventh = ConvBlock(bottleneck, 5, 2, 2, dropout=self.dropout_rate, name="conv7")(sixth, train)
 
         if self.require_text:
             Tb = seventh.shape[1]
             text = jnp.repeat(feats[:, None, :], Tb, axis=1).reshape(
                 -1, feats.shape[-1]
             )
-            feat = FeatEmbedBlock(embed // 2, name="text_embeds_postprocess")(
+            feat = FeatEmbedBlock(embed // 2, dropout=self.dropout_rate, name="text_embeds_postprocess")(
                 text, train
             ).reshape(B, Tb, embed // 2)
             seventh = jnp.concatenate([seventh, feat], axis=-1)
 
         sixth = upsample_repeat(seventh, sixth.shape[1]) + sixth
-        sixth = ConvBlock(embed, 3, 1, 1, name="skip4")(sixth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip4")(sixth, train)
         fifth = sixth + fifth
-        fifth = ConvBlock(embed, 3, 1, 1, name="skip5")(fifth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip5")(fifth, train)
 
-        return Decoder(self.feature_out_dim, name="decoder")(fifth, train)
+        return Decoder(self.feature_out_dim, dropout=self.dropout_rate, name="decoder")(fifth, train)
 
 
 class regressor_fcn_bn_32_v4_deeper(nn.Module):
@@ -222,6 +230,7 @@ class regressor_fcn_bn_32_v4_deeper(nn.Module):
     feature_out_dim: int
     require_text: bool = False
     default_size: int = 256
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, feats=None, train: bool = False):
@@ -229,14 +238,14 @@ class regressor_fcn_bn_32_v4_deeper(nn.Module):
         embed = self.default_size * (2 if self.require_text else 1)
         bottleneck = embed // (1 + int(self.require_text))
 
-        fourth = ConvBlock(embed, 3, 1, 1, pool=True, name="encoder")(x, train)
-        fifth = ConvBlock(embed, 3, 1, 1, name="conv5")(fourth, train)
-        sixth = ConvBlock(embed, 3, 1, 1, name="conv6")(fifth, train)
-        seventh = ConvBlock(embed, 5, 2, 2, name="conv7")(sixth, train)
+        fourth = ConvBlock(embed, 3, 1, 1, pool=True, dropout=self.dropout_rate, name="encoder")(x, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv5")(fourth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv6")(fifth, train)
+        seventh = ConvBlock(embed, 5, 2, 2, dropout=self.dropout_rate, name="conv7")(sixth, train)
 
-        eighth = ConvBlock(embed, 3, 1, 1, name="conv8")(seventh, train)
-        ninth = ConvBlock(bottleneck, 3, 1, 1, name="conv9")(eighth, train)
-        tenth = ConvBlock(bottleneck, 3, 1, 1, name="conv10")(ninth, train)
+        eighth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="conv8")(seventh, train)
+        ninth = ConvBlock(bottleneck, 3, 1, 1, dropout=self.dropout_rate, name="conv9")(eighth, train)
+        tenth = ConvBlock(bottleneck, 3, 1, 1, dropout=self.dropout_rate, name="conv10")(ninth, train)
 
         ninth = tenth + ninth
         if self.require_text:
@@ -244,21 +253,21 @@ class regressor_fcn_bn_32_v4_deeper(nn.Module):
             text = jnp.repeat(feats[:, None, :], Tb, axis=1).reshape(
                 -1, feats.shape[-1]
             )
-            feat = FeatEmbedBlock(embed // 2, name="text_embeds_postprocess")(
+            feat = FeatEmbedBlock(embed // 2, dropout=self.dropout_rate, name="text_embeds_postprocess")(
                 text, train
             ).reshape(B, Tb, embed // 2)
             ninth = jnp.concatenate([ninth, feat], axis=-1)
-        ninth = ConvBlock(embed, 3, 1, 1, name="skip1")(ninth, train)
+        ninth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip1")(ninth, train)
 
         eighth = ninth + eighth
-        eighth = ConvBlock(embed, 3, 1, 1, name="skip2")(eighth, train)  # noqa: F841 (dead in reference too)
+        eighth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip2")(eighth, train)  # noqa: F841 (dead in reference too)
 
         sixth = upsample_repeat(seventh, sixth.shape[1]) + sixth
-        sixth = ConvBlock(embed, 3, 1, 1, name="skip3")(sixth, train)
+        sixth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip3")(sixth, train)
         fifth = sixth + fifth
-        fifth = ConvBlock(embed, 3, 1, 1, name="skip4")(fifth, train)
+        fifth = ConvBlock(embed, 3, 1, 1, dropout=self.dropout_rate, name="skip4")(fifth, train)
 
-        return Decoder(self.feature_out_dim, name="decoder")(fifth, train)
+        return Decoder(self.feature_out_dim, dropout=self.dropout_rate, name="decoder")(fifth, train)
 
 
 class regressor_fcn_bn_discriminator(nn.Module):
@@ -267,11 +276,12 @@ class regressor_fcn_bn_discriminator(nn.Module):
     deltas; emits a per-position real/fake score map (B, T', 1)."""
 
     feature_in_dim: int
+    dropout_rate: float = 0.5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, ch in enumerate([64, 64, 32, 32, 16, 16, 8]):
-            x = ConvBlock(ch, 5, 2, 2, name=f"block{i}")(x, train)
-        x = nn.Dropout(rate=0.5, deterministic=not train)(x)
+            x = ConvBlock(ch, 5, 2, 2, dropout=self.dropout_rate, name=f"block{i}")(x, train)
+        x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
         x = Conv1d(1, 3, 1, 1, name="final")(x)
         return x

@@ -41,8 +41,14 @@ def build_generator(
     require_text: bool = False,
     require_image: bool = False,
     default_size: int = 256,
+    dropout_rate: float = 0.5,
 ):
-    """Instantiate a generator module (reference build_net equivalent)."""
+    """Instantiate a generator module (reference build_net equivalent).
+
+    `dropout_rate` defaults to the reference's hard-coded Dropout(0.5);
+    0.0 gives a dropout-free model (used by the train-step parity harness
+    and for ablations) with an identical parameter tree.
+    """
     name = resolve(model)
     cls = _CLASSES[name]
     if name == "regressor_fcn_bn_32_b2h":
@@ -51,17 +57,21 @@ def build_generator(
             feature_out_dim=feature_out_dim,
             require_image=require_image,
             default_size=default_size,
+            dropout_rate=dropout_rate,
         )
     return cls(
         feature_in_dim=feature_in_dim,
         feature_out_dim=feature_out_dim,
         require_text=require_text,
         default_size=default_size,
+        dropout_rate=dropout_rate,
     )
 
 
-def build_discriminator(feature_out_dim: int):
-    return generators.regressor_fcn_bn_discriminator(feature_in_dim=feature_out_dim)
+def build_discriminator(feature_out_dim: int, dropout_rate: float = 0.5):
+    return generators.regressor_fcn_bn_discriminator(
+        feature_in_dim=feature_out_dim, dropout_rate=dropout_rate
+    )
 
 
 def needs_feats(module) -> bool:

@@ -140,6 +140,67 @@ def discriminator_from_torch_state(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+_GATES = ("i", "f", "g", "o")  # torch nn.LSTM gate order (W_ii|W_if|W_ig|W_io)
+
+
+def classifier_from_torch_state(state_dict) -> dict:
+    """torch ClassifLSTM state_dict -> flax ClassifLSTM params pytree.
+
+    The reference (H2Sclassifier/Model/ClassifLSTM.py:16-26) is a stacked
+    nn.LSTM (optionally bidirectional) + Linear.  Mapping:
+
+      * ``lstm.weight_ih_l{k}[_reverse]`` (4H, in) -> per-gate input
+        kernels ``i{i,f,g,o}.kernel`` of cell ``lstm{k}_{f|b}_cell``;
+        the kernel's extra LAST row is ``bias_ih`` (the flax model feeds
+        a constant-1-augmented input, so torch's dual-bias Adam dynamics
+        are preserved elementwise),
+      * ``lstm.weight_hh_l{k}[_reverse]`` (4H, H) -> recurrent kernels
+        ``h{i,f,g,o}.kernel`` (H, H) with bias ``bias_hh``,
+      * ``Linear.weight/bias`` -> the head Dense.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    hidden = sd["lstm.weight_hh_l0"].shape[1]
+    params: dict = {}
+    layer = 0
+    while f"lstm.weight_ih_l{layer}" in sd:
+        for suffix, tag in (("", "f"), ("_reverse", "b")):
+            key = f"lstm.weight_ih_l{layer}{suffix}"
+            if key not in sd:
+                continue
+            w_ih = sd[key]  # (4H, in)
+            w_hh = sd[f"lstm.weight_hh_l{layer}{suffix}"]  # (4H, H)
+            b_ih = sd[f"lstm.bias_ih_l{layer}{suffix}"]  # (4H,)
+            b_hh = sd[f"lstm.bias_hh_l{layer}{suffix}"]  # (4H,)
+            cell: dict = {}
+            for gi, gate in enumerate(_GATES):
+                sl = slice(gi * hidden, (gi + 1) * hidden)
+                cell[f"i{gate}"] = {
+                    "kernel": np.concatenate(
+                        [np.transpose(w_ih[sl], (1, 0)), b_ih[sl][None, :]], axis=0
+                    )
+                }
+                cell[f"h{gate}"] = {
+                    "kernel": np.transpose(w_hh[sl], (1, 0)),
+                    "bias": b_hh[sl],
+                }
+            params[f"lstm{layer}_{tag}_cell"] = cell
+        layer += 1
+    params["Linear"] = _dense(sd, "Linear")
+    return {"params": params}
+
+
+def sentence_classifier_from_torch_state(state_dict) -> dict:
+    """torch SentenceClassifier (MLP_main.py:17-28, Sequential indices
+    0 Linear, 2 Linear) -> flax SentenceClassifier params."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return {
+        "params": {
+            "fc1": _dense(sd, "classifier.0"),
+            "fc2": _dense(sd, "classifier.2"),
+        }
+    }
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference .pth checkpoint (requires torch, CPU map)."""
     import torch

@@ -74,6 +74,9 @@ class GanConfig:
     seed: int = 23456
     effective_gan: bool = False  # extension: real adversarial gradient
     window_t: int = 192
+    # reference hard-codes Dropout(0.5); 0.0 disables dropout everywhere
+    # (train-step parity harness / ablations)
+    dropout_rate: float = 0.5
     # "bfloat16" runs model compute in bf16 (params/optimizer stay f32,
     # losses reduce in f32) — the TPU MXU's native dtype; ~2x step speed.
     compute_dtype: str = "float32"
@@ -92,8 +95,11 @@ class GanTrainer:
             require_text=cfg.require_text,
             require_image=cfg.require_image,
             default_size=cfg.default_size,
+            dropout_rate=cfg.dropout_rate,
         )
-        self.discriminator = registry.build_discriminator(cfg.feature_out_dim)
+        self.discriminator = registry.build_discriminator(
+            cfg.feature_out_dim, dropout_rate=cfg.dropout_rate
+        )
         self.g_tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.learning_rate
         )

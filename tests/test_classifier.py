@@ -130,3 +130,131 @@ def test_scale_axes_normalizes_torso(rng):
     neck = out[:, skeleton_preproc.bodypart_to_keypoint["Neck"], 0:2]
     hip = out[:, skeleton_preproc.bodypart_to_keypoint["MidHip"], 0:2]
     np.testing.assert_allclose(np.linalg.norm(neck - hip, axis=1), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# torch-port parity vs the reference H2Sclassifier models
+# ---------------------------------------------------------------------------
+
+def _ref_lstm(torch, B, T, D, H, L, bidir, seed=1):
+    import sys
+
+    sys.path.append("/root/reference/H2Sclassifier/Model")
+    from ClassifLSTM import ClassifLSTM as RefLSTM
+
+    torch.manual_seed(seed)  # hyperparameters.py:10
+    ref = RefLSTM(H, L, T, B, D, 10, bidirectional=bidir, dropout=0)
+    ref.eval()
+    return ref
+
+
+@pytest.mark.parametrize("bidir", [False, True])
+def test_classif_lstm_eval_parity_with_ported_weights(rng, bidir):
+    """Eval parity vs the reference ClassifLSTM with ported torch weights
+    (dual LSTM biases summed into flax's single recurrent bias)."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        torch_port,
+    )
+
+    B, T, D, H, L = 3, 9, 12, 8, 2
+    ref = _ref_lstm(torch, B, T, D, H, L, bidir)
+    x = rng.randn(B, T, D).astype(np.float32)
+    with torch.no_grad():
+        ref_y, _ = ref(torch.from_numpy(x))
+    variables = torch_port.classifier_from_torch_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    m = ClassifLSTM(hidden_size=H, num_layers=L, num_classes=10, bidirectional=bidir)
+    ours = np.asarray(m.apply(variables, x, False))
+    np.testing.assert_allclose(ours, ref_y.numpy(), atol=2e-5)
+
+
+def test_classif_lstm_train_step_parity(rng):
+    """One CE-on-last-timestep Adam step matches torch (loss value and
+    post-step params) from ported weights — the reference training loss
+    semantics (train_epoch.py:19-27)."""
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    import jax.numpy as jnp
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        torch_port,
+    )
+
+    B, T, D, H, L = 4, 7, 12, 8, 2
+    ref = _ref_lstm(torch, B, T, D, H, L, bidir=True)
+    ref.train()
+    x = rng.randn(B, T, D).astype(np.float32)
+    labels = rng.randint(1, 11, size=(B,))  # 1-based on disk
+    sd0 = {k: v.clone() for k, v in ref.state_dict().items()}
+
+    lr = 1e-3
+    opt = torch.optim.Adam(ref.parameters(), lr=lr, weight_decay=0)
+    out, _ = ref(torch.from_numpy(x))
+    loss = torch.nn.CrossEntropyLoss()(
+        out[:, -1, :], torch.from_numpy(labels - 1)
+    )  # train_epoch.py:19-27
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    sd1 = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+
+    m = ClassifLSTM(hidden_size=H, num_layers=L, num_classes=10, bidirectional=True)
+    tr = ClassifierTrainer(m, learning_rate=lr, weight_decay=0.0)
+    params = torch_port.classifier_from_torch_state(sd0)["params"]
+    params = jax.tree.map(jnp.asarray, params)
+    opt_state = tr.tx.init(params)
+    params, opt_state, our_loss, _ = tr._train_step(
+        params, opt_state, jnp.asarray(x), jnp.asarray(labels - 1),
+        jax.random.PRNGKey(0),
+    )
+    assert abs(float(our_loss) - float(loss.item())) < 1e-5
+
+    ported1 = torch_port.classifier_from_torch_state(sd1)["params"]
+    err = max(
+        jax.tree.leaves(
+            jax.tree.map(
+                lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+                params,
+                ported1,
+            )
+        )
+    )
+    assert err < 1e-4, err
+
+
+def test_sentence_classifier_parity_with_ported_weights(rng):
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+    torch.manual_seed(0)
+    ref = tnn.Sequential()  # placeholder; real model below
+
+    class RefSentenceClassifier(tnn.Module):
+        # mirror of MLP_main.py:17-28 (import side effects there pull wandb)
+        def __init__(self):
+            super().__init__()
+            self.classifier = tnn.Sequential(
+                tnn.Linear(384, 256), tnn.ReLU(), tnn.Linear(256, 10), tnn.Sigmoid()
+            )
+
+        def forward(self, x):
+            return self.classifier(x)
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        torch_port,
+    )
+
+    ref = RefSentenceClassifier()
+    ref.eval()
+    x = rng.randn(5, 384).astype(np.float32)
+    with torch.no_grad():
+        ref_y = ref(torch.from_numpy(x)).numpy()
+    variables = torch_port.sentence_classifier_from_torch_state(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    ours = np.asarray(SentenceClassifier().apply(variables, x, False))
+    np.testing.assert_allclose(ours, ref_y, atol=1e-6)
