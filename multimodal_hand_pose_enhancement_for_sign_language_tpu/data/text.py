@@ -71,13 +71,121 @@ def get_clip_ids(file_path: str) -> list:
     return id_list
 
 
+def _hf_torch_state(model_dir: str) -> dict:
+    """Read a local HF snapshot's torch weights (torch is used ONLY as the
+    converter input; all compute runs in the flax towers)."""
+    import torch
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(model_dir, local_files_only=True)
+    return {k: v.numpy() for k, v in model.state_dict().items()}
+
+
+def _flax_bert_embed(sentence_list, model_dir, mode, max_length=None):
+    """MiniLM mean-pooled sentence embeddings ('sentence') or bert-base
+    last-4-layer word embeddings ('word') via the JAX-native BertEncoder
+    (models/text_encoders.py), weights converted from the local HF
+    snapshot at `model_dir`."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        text_encoders,
+    )
+
+    tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+    kwargs = dict(padding=True, truncation=True, return_tensors="np")
+    if mode == "word":  # proc_text.py:70-72 pads to max_length=512
+        kwargs.update(padding="max_length", max_length=max_length or 512)
+    enc = tok(list(sentence_list), **kwargs)
+    sd = _hf_torch_state(model_dir)
+    from transformers import AutoConfig
+
+    n_heads = AutoConfig.from_pretrained(
+        model_dir, local_files_only=True
+    ).num_attention_heads
+    model = text_encoders.BertEncoder(
+        **text_encoders.bert_config_from_state(sd, num_heads=n_heads)
+    )
+    variables = text_encoders.bert_from_hf_state(sd)
+    ids = jnp.asarray(enc["input_ids"])
+    mask = jnp.asarray(enc["attention_mask"])
+    if mode == "word":
+        _, hiddens = model.apply(variables, ids, mask, output_hidden_states=True)
+        return np.asarray(sum(hiddens[-4:]))  # proc_text.py:88-92
+    last = model.apply(variables, ids, mask)
+    return np.asarray(text_encoders.bert_mean_pool(last, mask))
+
+
+def _flax_clip_embed(sentence_list, model_dir):
+    """CLIP text embeddings via the JAX-native CLIPTextEncoder, weights
+    converted from a local HF CLIP snapshot (proc_text.py:60-65)."""
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        text_encoders,
+    )
+
+    tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+    enc = tok(
+        list(sentence_list),
+        padding="max_length",
+        max_length=77,
+        truncation=True,
+        return_tensors="np",
+    )
+    sd = _hf_torch_state(model_dir)
+    if "text_projection.weight" not in sd:  # full CLIPModel dump
+        sd = {
+            k: v
+            for k, v in sd.items()
+            if k.startswith("text_model.") or k == "text_projection.weight"
+        }
+    hidden = sd["text_model.embeddings.token_embedding.weight"].shape[1]
+    n_layers = 0
+    while f"text_model.encoder.layers.{n_layers}.self_attn.q_proj.weight" in sd:
+        n_layers += 1
+    model = text_encoders.CLIPTextEncoder(
+        vocab_size=sd["text_model.embeddings.token_embedding.weight"].shape[0],
+        hidden_size=hidden,
+        num_layers=n_layers,
+        num_heads=hidden // 64,
+        intermediate_size=sd["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
+        max_position=sd["text_model.embeddings.position_embedding.weight"].shape[0],
+        projection_dim=sd["text_projection.weight"].shape[0],
+        eos_token_id=int(tok.eos_token_id),
+    )
+    variables = text_encoders.clip_text_from_hf_state(sd)
+    return np.asarray(model.apply(variables, jnp.asarray(enc["input_ids"])))
+
+
 def obtain_embeddings(
-    file_path: str, ids, method: str = "BERTsentence", groupByClip: bool = False
+    file_path: str,
+    ids,
+    method: str = "BERTsentence",
+    groupByClip: bool = False,
+    weights_path: Optional[str] = None,
 ) -> Optional[np.ndarray]:
-    """Sentence embeddings for each clip (proc_text.py:57-100)."""
+    """Sentence embeddings for each clip (proc_text.py:57-100).
+
+    With `weights_path` (a local HF snapshot directory) the embedding runs
+    through the JAX-native flax towers (models/text_encoders.py) — torch
+    is touched only to read the checkpoint.  Without it, falls back to the
+    torch/transformers hub path (requires downloads).
+    """
     if method == "precomputed":
         return None
     sentence_list = load_text(file_path, ids, groupByClip=groupByClip)
+
+    if weights_path is not None:
+        if method == "clip":
+            return _flax_clip_embed(sentence_list, weights_path)
+        if method == "BERTword":
+            return _flax_bert_embed(sentence_list, weights_path, "word")
+        if method == "BERTsentence":
+            return _flax_bert_embed(sentence_list, weights_path, "sentence")
+        raise ValueError(f"unknown text embedding method {method!r}")
 
     if method == "clip":
         import clip
@@ -129,10 +237,18 @@ def obtain_embeddings(
     raise ValueError(f"unknown text embedding method {method!r}")
 
 
-def obtain_avg_embed(file_path: str, ids, method="BERTsentence", subset: float = 1.0):
+def obtain_avg_embed(
+    file_path: str,
+    ids,
+    method="BERTsentence",
+    subset: float = 1.0,
+    weights_path: Optional[str] = None,
+):
     """Dataset-mean embedding tiled per clip (proc_text.py:133-139)."""
     ids = sorted(ids)
     idx_max = int(len(ids) * subset)
-    embeds = obtain_embeddings(file_path, ids[:idx_max], method=method)
+    embeds = obtain_embeddings(
+        file_path, ids[:idx_max], method=method, weights_path=weights_path
+    )
     col_mean = np.average(embeds, axis=0)
     return np.tile(col_mean, (embeds.shape[0], 1))
