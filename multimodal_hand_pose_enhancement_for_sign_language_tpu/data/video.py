@@ -118,9 +118,16 @@ IMAGENET_MEAN = np.array([123.68, 116.779, 103.939], np.float32)
 IMAGENET_STD = np.array([58.393, 57.12, 57.375], np.float32)
 
 
-def obtain_feats_crops_clip(crops_list) -> list:
-    """CLIP ViT-B/32 image features per hand (proc_vid.py:111-142);
-    needs the `clip` package + weights (import-gated)."""
+def obtain_feats_crops_clip(crops_list, weights_path: str | None = None) -> list:
+    """CLIP ViT-B/32 image features per hand (proc_vid.py:111-142).
+
+    With `weights_path` (a local HF CLIP snapshot) the features run
+    through the JAX-native CLIPVisionEncoder (models/clip_vision.py) —
+    torch only reads the checkpoint.  Without it, falls back to the
+    `clip` package (needs downloads)."""
+    if weights_path is not None:
+        return _obtain_feats_crops_clip_flax(crops_list, weights_path)
+
     import clip
     import torch
     from PIL import Image
@@ -138,6 +145,42 @@ def obtain_feats_crops_clip(crops_list) -> list:
     return [
         np.hstack((embed(c[..., 0]), embed(c[..., 1]))) for c in crops_list
     ]
+
+
+def _obtain_feats_crops_clip_flax(crops_list, weights_path: str) -> list:
+    """CLIP image features via the flax vision tower (one jitted batched
+    forward per hand stream)."""
+    import jax
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        clip_vision,
+    )
+
+    import torch
+    from transformers import AutoModel
+
+    hf = AutoModel.from_pretrained(weights_path, local_files_only=True)
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    vcfg = getattr(hf.config, "vision_config", hf.config)
+    model = clip_vision.CLIPVisionEncoder(
+        hidden_size=vcfg.hidden_size,
+        num_layers=vcfg.num_hidden_layers,
+        num_heads=vcfg.num_attention_heads,
+        intermediate_size=vcfg.intermediate_size,
+        image_size=vcfg.image_size,
+        patch_size=vcfg.patch_size,
+        projection_dim=getattr(hf.config, "projection_dim", vcfg.hidden_size),
+    )
+    variables = clip_vision.clip_vision_from_hf_state(sd)
+    fwd = jax.jit(lambda px: model.apply(variables, px))
+
+    def embed(frames_tchw):
+        px = clip_vision.clip_preprocess(
+            np.moveaxis(np.asarray(frames_tchw), 1, -1), vcfg.image_size
+        )
+        return np.asarray(fwd(px))
+
+    return [np.hstack((embed(c[..., 0]), embed(c[..., 1]))) for c in crops_list]
 
 
 # ---------------------------------------------------------------------------

@@ -206,3 +206,66 @@ def test_obtain_embeddings_flax_route(tmp_path, rng):
         weights_path=str(d),
     )
     assert word.shape[0] == 2 and word.shape[-1] == 16
+
+
+def test_clip_vision_encoder_matches_hf(rng):
+    from transformers import CLIPVisionConfig
+    from transformers.models.clip.modeling_clip import (
+        CLIPVisionModelWithProjection,
+    )
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import (
+        clip_vision,
+    )
+
+    cfg = CLIPVisionConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=64, image_size=48, patch_size=16,
+        projection_dim=24, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    ref = CLIPVisionModelWithProjection(cfg)
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    ours = clip_vision.CLIPVisionEncoder(
+        hidden_size=32, num_layers=3, num_heads=4, intermediate_size=64,
+        image_size=48, patch_size=16, projection_dim=24,
+    )
+    variables = clip_vision.clip_vision_from_hf_state(sd)
+    px = rng.randn(2, 48, 48, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(np.moveaxis(px, -1, 1))
+        ).image_embeds.numpy()
+    out = np.asarray(ours.apply(variables, jnp.asarray(px)))
+    np.testing.assert_allclose(out, ref_out, atol=3e-5)
+
+
+def test_obtain_feats_crops_clip_flax_route(tmp_path, rng):
+    """data/video.py CLIP-image featurizer through the flax tower off a
+    local full-CLIPModel snapshot."""
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import video
+
+    cfg = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(
+            vocab_size=49, hidden_size=16, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=8,
+        ),
+        CLIPVisionConfig(
+            hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=32, image_size=32, patch_size=16,
+        ),
+        projection_dim=12,
+    )
+    torch.manual_seed(0)
+    CLIPModel(cfg).save_pretrained(str(tmp_path / "clip"))
+    crops = rng.randint(0, 255, size=(3, 3, 24, 24, 2)).astype(np.float32)
+    feats = video.obtain_feats_crops_clip(
+        [crops], weights_path=str(tmp_path / "clip")
+    )
+    assert len(feats) == 1
+    assert feats[0].shape == (3, 24)  # 12 per hand, hstacked
+    assert np.isfinite(feats[0]).all()
