@@ -149,3 +149,36 @@ def make_r6d_dataset(
         save_binary(categs, os.path.join(data_dir, f"categs_{split}.pkl"))
         out[split] = dict(n=n)
     return out
+
+
+def make_video_tree(
+    root: str,
+    height: int = 360,
+    width: int = 480,
+    seed: int = 0,
+):
+    """Write a tiny .mp4 per utterance of an existing openpose tree
+    (layout: {split}/rgb_front/raw_videos/{utt_id}.mp4 — the reference's
+    VID_PATHS shape, proc_vid.py:16-26).  Needs cv2."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    out = {}
+    for split in SPLITS:
+        json_root = os.path.join(
+            root, split, "rgb_front", "features", "openpose_output", "json"
+        )
+        vid_dir = os.path.join(root, split, "rgb_front", "raw_videos")
+        os.makedirs(vid_dir, exist_ok=True)
+        ids = sorted(os.listdir(json_root)) if os.path.isdir(json_root) else []
+        for uid in ids:
+            n_frames = len(os.listdir(os.path.join(json_root, uid)))
+            path = os.path.join(vid_dir, uid + ".mp4")
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), 24.0, (width, height)
+            )
+            for _ in range(n_frames):
+                writer.write(rng.randint(0, 255, size=(height, width, 3), dtype=np.uint8))
+            writer.release()
+        out[split] = vid_dir
+    return out

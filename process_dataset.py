@@ -110,6 +110,34 @@ def process_split(args, split: str):
             categs = categ_lib.get_clips_categ(clips, id_categ)
         save_binary(categs, os.path.join(args.data_dir, f"categs_{split}.pkl"))
 
+    # hand-crop extraction / ResNet features — the reference's canonical
+    # (commented-out) b2h continuation, utils/utils.py:536-554 /
+    # proc_vid.py:244-254, runnable behind flags
+    if args.crops or args.vid_feats:
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+            datasets as datasets_lib,
+        )
+
+        paths = datasets_lib.DatasetPaths(
+            args.dataset_path,
+            text_template=args.text_path_template,
+            categ_template=args.categ_path_template,
+            vid_template=args.vid_template,
+        )
+        if not os.path.isdir(paths.vid_dir(split)):
+            print(f"[{split}] no videos at {paths.vid_dir(split)}; skipping crops", flush=True)
+        elif args.vid_feats:
+            datasets_lib.obtain_vid_crops_and_feats(
+                paths, split, args.data_dir, weights_path=args.resnet_weights,
+                chunk=args.vid_chunk,
+            )
+            print(f"[{split}] wrote {split}_vid_feats.pkl", flush=True)
+        else:
+            datasets_lib.obtain_vid_crops(
+                paths, split, args.data_dir, chunk=args.vid_chunk
+            )
+            print(f"[{split}] wrote {split}_vid_crops.pkl", flush=True)
+
     if args.lift:
         mesh = None
         import jax
@@ -162,6 +190,11 @@ if __name__ == "__main__":
     parser.add_argument("--subset", type=float, default=1.0, help="fraction of utterances to keep")
     parser.add_argument("--group_by_clip", action=argparse.BooleanOptionalAction, default=True, help="group utterances into videos (reference default); --no-group_by_clip for utterance-level")
     parser.add_argument("--lift", action="store_true", help="run 2D->3D lifting + r6d conversion")
+    parser.add_argument("--crops", action="store_true", help="extract 120x120 hand crops from videos (reference utils/utils.py:536-545)")
+    parser.add_argument("--vid_feats", action="store_true", help="extract crops AND ResNet-50 hand features (reference utils/utils.py:547-554)")
+    parser.add_argument("--vid_template", type=str, default="{split}/rgb_front/raw_videos", help="per-split video directory (relative to dataset root or absolute)")
+    parser.add_argument("--resnet_weights", type=str, default=None, help="torchvision resnet50 .pth to convert for the flax featurizer")
+    parser.add_argument("--vid_chunk", type=int, default=500, help="clips per persisted crops/feats chunk")
     parser.add_argument("--n_partitions", type=int, default=40, help="lifting checkpoint partitions")
     parser.add_argument("--n_cycles", type=int, default=900, help="lifting SGD cycles")
     parser.add_argument("--workers", type=int, default=None, help="ingestion processes")
