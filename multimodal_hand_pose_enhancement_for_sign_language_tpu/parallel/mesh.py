@@ -50,3 +50,28 @@ def replicate(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return int(math.ceil(n / k) * k)
+
+
+def act_constraint(x, mesh: Mesh):
+    """`with_sharding_constraint` for an activation inside jit: batch over
+    'data'; channels (last dim) over 'model' when they divide.  This is
+    the anchor that makes tensor parallelism REAL — without it XLA is
+    free to all-gather tp-sharded params and run effectively DP."""
+    model = mesh.shape.get("model", 1)
+    spec = ["data"] + [None] * (x.ndim - 1)
+    if model > 1 and x.ndim >= 2 and x.shape[-1] % model == 0:
+        spec[-1] = "model"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def tp_param_placement(tree, mesh: Mesh):
+    """Place conv kernels (flax (k, in, out)) with the output-channel dim
+    sharded over 'model' where it divides; everything else replicated."""
+    model = mesh.shape.get("model", 1)
+
+    def put(a):
+        if getattr(a, "ndim", 0) == 3 and model > 1 and a.shape[-1] % model == 0:
+            return jax.device_put(a, NamedSharding(mesh, P(None, None, "model")))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)

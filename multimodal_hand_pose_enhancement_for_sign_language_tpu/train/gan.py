@@ -85,9 +85,14 @@ class GanConfig:
 class GanTrainer:
     """Builds models/optimizers and exposes jitted train/val steps."""
 
-    def __init__(self, cfg: GanConfig, mesh=None):
+    def __init__(self, cfg: GanConfig, mesh=None, tp: bool = False):
         self.cfg = cfg
         self.mesh = mesh
+        # tensor parallelism: with tp=True (and a mesh with a 'model'
+        # axis), generator inputs/outputs get with_sharding_constraint
+        # anchors so XLA keeps channel-sharded params sharded instead of
+        # all-gathering them (see parallel/mesh.act_constraint).
+        self.tp = tp and mesh is not None
         self.generator = registry.build_generator(
             cfg.model,
             cfg.feature_in_dim,
@@ -225,6 +230,8 @@ class GanTrainer:
         gradients (incl. the adversarial term and train-mode BN/dropout).
         Returns (loss, new_g_batch_stats)."""
         xc = self._cast_in(x)
+        if self.tp:
+            xc = mesh_lib.act_constraint(xc, self.mesh)
         fc = self._cast_in(feats) if feats is not None else None
         y_hat, mut = self.generator.apply(
             {
@@ -238,6 +245,8 @@ class GanTrainer:
             rngs={"dropout": dropout_rng},
         )
         y_hat = y_hat.astype(jnp.float32)
+        if self.tp:
+            y_hat = mesh_lib.act_constraint(y_hat, self.mesh)
         new_stats = self._cast_out(mut["batch_stats"])
         fake_motion = self._cast_in(calc_motion(y_hat))
         fake_score = self.discriminator.apply(

@@ -96,3 +96,43 @@ def test_epoch_scan_with_feats(rng):
     assert np.isfinite(loss)
     state, d_loss = tr.run_epoch_scanned(state, X, Y, F, "d", 4)
     assert np.isfinite(d_loss)
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_step_matches_single_device_and_stays_sharded(rng):
+    """tp over generator output channels: (1) the G step gives the same
+    loss as the unsharded run, (2) the compiled step carries a
+    cross-device all-reduce, (3) updated tp kernels KEEP their 'model'
+    sharding (no silent all-gather-to-replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import (
+        mesh as mesh_lib,
+    )
+
+    X = rng.randn(8, 32, 12).astype(np.float32)
+    Y = rng.randn(8, 32, 24).astype(np.float32)
+
+    ref_tr = GanTrainer(GanConfig(batch_size=8, **TINY))
+    ref_state = ref_tr.init_state()
+    _, ref_loss = ref_tr._g_step(ref_state, jnp.asarray(X), jnp.asarray(Y), None)
+
+    mesh = get_mesh(8, model_axis=2)
+    tr = GanTrainer(GanConfig(batch_size=8, **TINY), mesh=mesh, tp=True)
+    state = tr.init_state()
+    state["g_params"] = mesh_lib.tp_param_placement(state["g_params"], mesh)
+    state["g_opt"] = tr.g_tx.init(state["g_params"])
+    x = jax.device_put(X, NamedSharding(mesh, P("data")))
+    y = jax.device_put(Y, NamedSharding(mesh, P("data")))
+
+    txt = tr._g_step.lower(state, x, y, None).compile().as_text()
+    assert "all-reduce" in txt
+
+    state, loss = tr._g_step(state, x, y, None)
+    assert abs(float(loss) - float(ref_loss)) < 1e-3
+
+    n_tp = 0
+    for leaf in jax.tree.leaves(state["g_params"]):
+        if leaf.ndim == 3 and leaf.shape[-1] % 2 == 0:
+            assert tuple(leaf.sharding.spec) and leaf.sharding.spec[-1] == "model"
+            n_tp += 1
+    assert n_tp > 0
