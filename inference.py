@@ -116,6 +116,7 @@ def main(args):
         test_Y=test_Y,
         bf16=args.bf16,
         mesh=mesh,
+        matmul_precision=args.matmul_precision,
     )
     print(">>> TOTAL ERROR: ", error, flush=True)
 
@@ -173,6 +174,7 @@ def build_parser():
     parser.add_argument('--model', type=str, default="v1", help='model architecture')
     parser.add_argument('--num_samples', type=int, default=3000, help='number of sequences to predict')
     parser.add_argument('--bf16', action='store_true', help='EXTENSION: run the forward in bfloat16')
+    parser.add_argument('--matmul_precision', type=str, default='float32', help="XLA matmul precision: 'float32' (true-f32, meets the 1e-3 MPJPE budget on TPU) or 'bfloat16' (1 MXU pass, faster, ~5e-3)")
     parser.add_argument('--use_wandb', action='store_true', help='upload GIFs/metrics to wandb when available')
     return parser
 

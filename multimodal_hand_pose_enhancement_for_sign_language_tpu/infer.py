@@ -46,6 +46,7 @@ def run_inference(
     test_Y=None,
     mesh=None,
     bf16: bool = False,
+    matmul_precision: str = "float32",
 ):
     """Eval-mode batched forward over (N, T, D) inputs.
 
@@ -53,6 +54,14 @@ def run_inference(
     Mirrors the reference's batching incl. the partial final batch and the
     num_samples cap (inference.py:96-123).  `bf16` runs the model compute
     in bfloat16 (outputs cast back to f32).
+
+    `matmul_precision`: XLA matmul/conv precision for the forward.  On
+    TPU the XLA DEFAULT lowers f32 matmuls to ONE bf16 MXU pass, which
+    measures ~5e-3 MPJPE vs the torch reference through the save_results
+    geometry chain — outside the 1e-3 BASELINE budget
+    (TPU_MEASURE_r2.json "bf16_e2e_mpjpe").  Inference therefore defaults
+    to 'float32' (multi-pass, true-f32 accurate); pass 'bfloat16' to
+    trade parity for throughput.
     """
     if bf16:
         variables = jax.tree.map(
@@ -62,12 +71,14 @@ def run_inference(
             variables,
         )
 
-    @jax.jit
-    def fwd(x, feats):
-        if bf16:
-            x = x.astype(jnp.bfloat16)
-            feats = feats.astype(jnp.bfloat16) if feats is not None else None
-        return module.apply(variables, x, feats, False).astype(jnp.float32)
+    with jax.default_matmul_precision(matmul_precision):
+
+        @jax.jit
+        def fwd(x, feats):
+            if bf16:
+                x = x.astype(jnp.bfloat16)
+                feats = feats.astype(jnp.bfloat16) if feats is not None else None
+            return module.apply(variables, x, feats, False).astype(jnp.float32)
 
     def to_device(a):
         """Shard full batches over the mesh 'data' axis (the multi-chip

@@ -77,6 +77,13 @@ class GanConfig:
     # reference hard-codes Dropout(0.5); 0.0 disables dropout everywhere
     # (train-step parity harness / ablations)
     dropout_rate: float = 0.5
+    # batch the D step's fake+real passes into one vmapped forward
+    # (torch-parity-exact, see _d_step_impl).  Measured on v5e at the
+    # article config (B=256): fused 5.16 ms vs sequential 5.00 ms — the
+    # D convs are too small for the extra batching to beat XLA's own
+    # overlap of the two passes, so the literal reference form stays the
+    # default (TPU_MEASURE_r2.json "steps_B256").
+    fused_d: bool = False
     # "bfloat16" runs model compute in bf16 (params/optimizer stay f32,
     # losses reduce in f32) — the TPU MXU's native dtype; ~2x step speed.
     compute_dtype: str = "float32"
@@ -298,29 +305,64 @@ class GanTrainer:
         t_fake, t_real = (0.1, 0.9) if self.cfg.disc_label_smooth else (0.0, 1.0)
 
         def loss_fn(d_params):
-            # two sequential train-mode D forwards, exactly like the
-            # reference (batch stats advance fake -> real)
+            # The reference runs two sequential train-mode D forwards
+            # (fake then real).  In train mode each forward normalizes by
+            # ITS OWN batch statistics, so the passes are independent
+            # except for the running-stat update order.  We therefore
+            # batch both passes into ONE vmapped forward (bigger, better
+            # MXU-utilizing convs, half the kernel launches) and recover
+            # the exact sequential running stats algebraically:
+            #   s1 = (1-m)*s0 + m*fake_stat        (fake pass)
+            #   s2 = (1-m)*s1 + m*real_stat        (real pass)
+            # with upd_f = (1-m)*s0 + m*fake_stat and
+            #      upd_r = (1-m)*s0 + m*real_stat both computed from s0:
+            #   s2 = (1-m)*upd_f + upd_r - (1-m)*s0.
+            # Verified against torch by the train-step parity harness.
             dp = self._cast_in(d_params)
-            fake_score, mut1 = self.discriminator.apply(
-                {"params": dp, "batch_stats": self._cast_in(state["d_stats"])},
-                fake_motion,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dk1},
+            s0 = self._cast_in(state["d_stats"])
+            if not self.cfg.fused_d:  # literal sequential form (A/B)
+                fake_score, mut1 = self.discriminator.apply(
+                    {"params": dp, "batch_stats": s0}, fake_motion, True,
+                    mutable=["batch_stats"], rngs={"dropout": dk1},
+                )
+                real_score, mut2 = self.discriminator.apply(
+                    {"params": dp, "batch_stats": mut1["batch_stats"]},
+                    real_motion, True,
+                    mutable=["batch_stats"], rngs={"dropout": dk2},
+                )
+                d_loss = mse(
+                    fake_score.astype(jnp.float32),
+                    jnp.full_like(fake_score, t_fake, jnp.float32),
+                ) + mse(
+                    real_score.astype(jnp.float32),
+                    jnp.full_like(real_score, t_real, jnp.float32),
+                )
+                return d_loss, self._cast_out(mut2["batch_stats"])
+            motions = jnp.stack([fake_motion, real_motion])  # (2, B, T', C)
+            keys = jnp.stack([dk1, dk2])
+
+            def one(m, key):
+                return self.discriminator.apply(
+                    {"params": dp, "batch_stats": s0},
+                    m,
+                    True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": key},
+                )
+
+            scores, muts = jax.vmap(one)(motions, keys)
+            fake_score = scores[0].astype(jnp.float32)
+            real_score = scores[1].astype(jnp.float32)
+            torch_m = 0.1  # every D BatchNorm uses torch momentum 0.1
+            new_stats = jax.tree.map(
+                lambda upd, s: (1 - torch_m) * upd[0] + upd[1] - (1 - torch_m) * s,
+                muts["batch_stats"],
+                s0,
             )
-            real_score, mut2 = self.discriminator.apply(
-                {"params": dp, "batch_stats": mut1["batch_stats"]},
-                real_motion,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dk2},
-            )
-            fake_score = fake_score.astype(jnp.float32)
-            real_score = real_score.astype(jnp.float32)
             d_loss = mse(fake_score, jnp.full_like(fake_score, t_fake)) + mse(
                 real_score, jnp.full_like(real_score, t_real)
             )
-            return d_loss, self._cast_out(mut2["batch_stats"])
+            return d_loss, self._cast_out(new_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["d_params"]
@@ -369,19 +411,26 @@ class GanTrainer:
     ):
         """Device-resident epoch scan: the dataset lives in HBM across
         epochs; only the shuffle permutation (N int32s) crosses the host
-        boundary each epoch.  The gather + batching happen on device, so
-        the reference's host-RandomState shuffle semantics are preserved
-        without re-uploading gigabytes per epoch."""
+        boundary each epoch.  The shuffle gather happens PER BATCH inside
+        the scan body (B*T*D per step), so peak HBM is dataset + one
+        batch — not dataset + a full shuffled copy; at article scale
+        (31K x 192 x 288 f32 ~ 6.9 GB) that halves residency and fits a
+        single v5e chip with headroom."""
         nb = X.shape[0] // batch_size
-        n = nb * batch_size
+        perm_b = perm[: nb * batch_size].reshape(nb, batch_size)
 
-        def shuffle_batch(a):
-            return a[perm][:n].reshape((nb, batch_size) + a.shape[1:])
+        step = {"g": self._g_step_impl, "d": self._d_step_impl}.get(kind)
 
-        Xb = shuffle_batch(X)
-        Yb = shuffle_batch(Y)
-        Fb = shuffle_batch(F) if has_feats else None
-        return self._epoch_scan_impl(state, Xb, Yb, Fb, has_feats, kind)
+        def body(st, idx):
+            x = jnp.take(X, idx, axis=0)
+            y = jnp.take(Y, idx, axis=0)
+            f = jnp.take(F, idx, axis=0) if has_feats else None
+            if kind == "val":
+                return st, self._val_step_impl(st, x, y, f)
+            return step(st, x, y, f)
+
+        state, losses = jax.lax.scan(body, state, perm_b)
+        return state, jnp.mean(losses)
 
     def stage(self, X, Y, feats=None):
         """Move the full (N, T, D) dataset to device memory once (sharded

@@ -46,6 +46,7 @@ def test_load_all_splits(paths):
     assert datasets.load_H2S_dataset is datasets.load_h2s_dataset
 
 
+@pytest.mark.slow
 def test_vid_crops_and_feats_drivers(tmp_path):
     """obtain_vid_crops / obtain_vid_crops_and_feats over synthetic mp4s
     (reference utils/utils.py:282-356), random-init flax ResNet."""
@@ -72,6 +73,7 @@ def test_vid_crops_and_feats_drivers(tmp_path):
     assert np.isfinite(feats[0]).all()
 
 
+@pytest.mark.slow
 def test_process_dataset_cli_vid_feats(tmp_path):
     """The --vid_feats flag produces {split}_vid_feats.pkl end-to-end from
     one CLI call (the b2h data path, reference utils/utils.py:536-554)."""

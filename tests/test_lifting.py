@@ -107,6 +107,7 @@ def test_initialization_matches_reference(demo_xyw):
     assert np.median(pos_err) < 1e-3
 
 
+@pytest.mark.slow
 def test_filtering_matches_tf_reference(demo_xyw):
     """TF autodiff-SGD oracle vs our closed-form-gradient fori_loop.
 
@@ -182,6 +183,7 @@ def test_bucketed_batch_equals_single(demo_xyw):
     assert not np.any(np.isnan(batch[1]))
 
 
+@pytest.mark.slow
 def test_lift_2d_to_3d_partitioned_resume(tmp_path, demo_xyw):
     Xx, Xy, Xw = demo_xyw
     kp = np.zeros((T_SLICE, 150), np.float32)

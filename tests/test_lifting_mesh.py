@@ -10,6 +10,7 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import get_
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_mesh_sharded_lifting_matches(rng):
     kp = rng.uniform(100, 500, size=(30, 150)).astype(np.float32)
     kp[:, 2::3] = rng.uniform(0.5, 1.0, size=(30, 50))

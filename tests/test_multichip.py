@@ -17,6 +17,7 @@ TINY = dict(feature_in_dim=12, feature_out_dim=24, default_size=32, window_t=32)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_data_parallel_epoch_matches_single_device(rng):
     X = rng.randn(16, 32, 12).astype(np.float32)
     Y = rng.randn(16, 32, 24).astype(np.float32)
@@ -32,6 +33,7 @@ def test_data_parallel_epoch_matches_single_device(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
@@ -39,6 +41,7 @@ def test_graft_dryrun_multichip():
     graft.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_epoch_scan_matches_per_batch(rng):
     X = rng.randn(12, 32, 12).astype(np.float32)
     Y = rng.randn(12, 32, 24).astype(np.float32)
@@ -58,6 +61,7 @@ def test_epoch_scan_matches_per_batch(rng):
     assert abs(v1 - v2) < 1e-4
 
 
+@pytest.mark.slow
 def test_resident_epoch_matches_per_batch(rng):
     """Staged-data + permutation epochs == host-reshuffled per-batch
     epochs, across a shuffle boundary."""
@@ -86,6 +90,7 @@ def test_resident_epoch_matches_per_batch(rng):
     s2, _ = tr2.run_epoch_resident(s2, dX, dY, dF, order, "d", 4)
 
 
+@pytest.mark.slow
 def test_epoch_scan_with_feats(rng):
     X = rng.randn(8, 32, 12).astype(np.float32)
     Y = rng.randn(8, 32, 24).astype(np.float32)
@@ -98,6 +103,7 @@ def test_epoch_scan_with_feats(rng):
     assert np.isfinite(d_loss)
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_tensor_parallel_step_matches_single_device_and_stays_sharded(rng):
     """tp over generator output channels: (1) the G step gives the same
     loss as the unsharded run, (2) the compiled step carries a

@@ -43,6 +43,7 @@ def test_calc_motion_reference_quirk(rng):
     assert m.shape == (2, 4, 3)
 
 
+@pytest.mark.slow
 def test_bf16_training_step(rng):
     cfg = GanConfig(compute_dtype="bfloat16", **TINY)
     tr = GanTrainer(cfg)
@@ -61,6 +62,7 @@ def test_bf16_training_step(rng):
     assert abs(float(g_loss) - float(g32)) < 0.05 * max(abs(float(g32)), 1.0)
 
 
+@pytest.mark.slow
 def test_effective_gan_changes_gradients(rng):
     cfg_ref = GanConfig(**TINY)
     cfg_eff = GanConfig(effective_gan=True, **TINY)

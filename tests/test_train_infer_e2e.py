@@ -37,6 +37,7 @@ def _train_args(workdir, **over):
     return args
 
 
+@pytest.mark.slow
 def test_train_then_infer_arm2wh(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(workdir)
@@ -73,6 +74,7 @@ def test_train_then_infer_arm2wh(workdir, monkeypatch):
     assert os.path.exists(os.path.join(workdir, "viz_results_e2e_test", "0.gif"))
 
 
+@pytest.mark.slow
 def test_train_robust_loss_and_label_smooth(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(
@@ -86,6 +88,7 @@ def test_train_robust_loss_and_label_smooth(workdir, monkeypatch):
     assert np.isfinite(best)
 
 
+@pytest.mark.slow
 def test_train_infer_image_conditioned_b2h(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(
@@ -106,6 +109,7 @@ def test_train_infer_image_conditioned_b2h(workdir, monkeypatch):
     assert np.isfinite(err)
 
 
+@pytest.mark.slow
 def test_train_arm_wh2wh_pipeline(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(
@@ -115,6 +119,7 @@ def test_train_arm_wh2wh_pipeline(workdir, monkeypatch):
     assert np.isfinite(best)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(workdir, monkeypatch):
     """--use_checkpoint picks up lastCheckpoint and keeps training
     (reference train_gan.py:70-73 semantics)."""
