@@ -12,6 +12,13 @@ transfers are excluded on both sides (the torch baseline is timed around
 bare forward calls on in-memory tensors).  The baseline is measured live
 from /root/reference/modelZoo.py when importable; otherwise a recorded
 constant from the same host is used.
+
+The forward runs at XLA matmul precision 'float32' — the parity-honest
+mode (7.6e-7 MPJPE vs torch through the save_results chain, vs 5.4e-3
+at the bf16-pass DEFAULT) measured at the SAME throughput on v5e
+(45.0M vs 45.2M frames/s: the model is not MXU-peak-bound), so the
+headline loses nothing by meeting the 1e-3 budget
+(TPU_MEASURE_r2.json).
 """
 
 import json
@@ -54,7 +61,8 @@ def measure_tpu() -> float:
 
         return jax.lax.fori_loop(0, K, body, x).mean()
 
-    f = jax.jit(many)
+    with jax.default_matmul_precision("float32"):
+        f = jax.jit(many)
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, IN_DIM).astype(np.float32))
     np.asarray(f(variables, x))  # compile + warm
     best = np.inf

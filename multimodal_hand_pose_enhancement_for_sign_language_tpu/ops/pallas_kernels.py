@@ -1,6 +1,9 @@
 """Pallas TPU kernels for the hot elementwise loops.
 
 1. ``filter_sgd``   — the lifting engine's 900-iteration SGD xyz smoothing
+   (chunk=32 clips per kernel instance: best of the measured 8/16/32
+   sweep, 989K vs 958K frames/s; 64+ exceeds the 16 MB scoped-VMEM
+   limit — TPU_MEASURE_r2.json "filter_chunk_sweep")
    (lifting/filtering.py).  The pure-XLA `fori_loop` writes its carry to
    HBM every iteration; this kernel keeps the whole (clips x joints x
    time) tile resident in VMEM for all iterations, with the temporal
@@ -76,7 +79,7 @@ def _filter_kernel(n_cycles, lr, x_ref, y_ref, z_ref, tx_ref, ty_ref, w2_ref, pm
 
 def filter_sgd(
     x0, y0, z0, tarx, tary, w, mask, learning_rate: float, n_cycles: int,
-    chunk: int = 16, interpret: bool | None = None,
+    chunk: int = 32, interpret: bool | None = None,
 ):
     """Batched fused filtering.
 
