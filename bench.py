@@ -5,20 +5,26 @@ generator (v1, arm2wh, 192-frame windows) vs the PyTorch CPU reference.
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Methodology: K eval-mode forwards chained on-device inside one jitted
-program (a data dependency between iterations prevents elision), synced
-by fetching a scalar to the host — per-dispatch tunnel latency and host
-transfers are excluded on both sides (the torch baseline is timed around
-bare forward calls on in-memory tensors).  The baseline is measured live
-from /root/reference/modelZoo.py when importable; otherwise a recorded
-constant from the same host is used.
+Methodology (corrected this round — see TPU_PROBE.json):
+  * K forwards chained on-device inside one jitted program, with the
+    FULL mean of each output folded into the carry — a y[:, :, :36]
+    slice would let XLA dead-code-eliminate 86% of the final conv's
+    output channels (r2 bug, inflated the number).
+  * The matmul-precision context wraps the apply INSIDE the traced
+    function: jit traces lazily at the first call, so a context around
+    the jit definition binds nothing (r2 bug: the "float32-precision"
+    bench actually measured DEFAULT 1-bf16-pass precision).
+  * K is large enough that the ~31 ms axon-tunnel per-call overhead is
+    <2% of a measurement; the torch baseline is timed around bare
+    forward calls on in-memory tensors, so neither side pays dispatch.
 
-The forward runs at XLA matmul precision 'float32' — the parity-honest
-mode (7.6e-7 MPJPE vs torch through the save_results chain, vs 5.4e-3
-at the bf16-pass DEFAULT) measured at the SAME throughput on v5e
-(45.0M vs 45.2M frames/s: the model is not MXU-peak-bound), so the
-headline loses nothing by meeting the 1e-3 budget
-(TPU_MEASURE_r2.json).
+Operating precision: 'tensorfloat32' (three bf16 MXU passes).  Measured
+end-to-end MPJPE vs the torch f32 reference through the save_results
+geometry chain: DEFAULT one-pass 5.4e-3 (FAILS the 1e-3 BASELINE
+budget), tensorfloat32 ~1e-5 (passes), float32 six-pass 7.6e-7 (passes
+at ~1.8x the cost).  tensorfloat32 is the cheapest budget-passing
+point, and XLA runs it at ~87% of the 3-pass MXU roofline
+(TPU_PROBE.json "whole_forward_tensorfloat32", "mpjpe_by_precision").
 """
 
 import json
@@ -37,8 +43,9 @@ ensure_platform_from_env()
 B = 2048  # TPU batch (throughput-optimal from a 256..2048 sweep)
 B_CPU = 256  # torch CPU baseline batch (its throughput is batch-flat)
 T = 192
-K = 20
+K = 64
 IN_DIM, OUT_DIM = 36, 252
+PRECISION = "tensorfloat32"  # cheapest budget-passing point (see module doc)
 
 # torch CPU reference v1 forward, measured on this host (frames/sec);
 # fallback when /root/reference or torch is unavailable at bench time.
@@ -56,19 +63,21 @@ def measure_tpu() -> float:
 
     def many(v, x):
         def body(i, carry):
-            y = module.apply(v, carry, None, False)
-            return carry + 1e-6 * y[:, :, :IN_DIM]
+            with jax.default_matmul_precision(PRECISION):  # binds at trace
+                y = module.apply(v, carry, None, False)
+            # fold the FULL output back into the carry (elision-proof),
+            # numerically inert at 1e-30 scale
+            return carry + jnp.mean(y) * 1e-30
 
         return jax.lax.fori_loop(0, K, body, x).mean()
 
-    with jax.default_matmul_precision("float32"):
-        f = jax.jit(many)
+    f = jax.jit(many)
     x = jnp.asarray(np.random.RandomState(0).randn(B, T, IN_DIM).astype(np.float32))
-    np.asarray(f(variables, x))  # compile + warm
+    float(f(variables, x))  # compile + warm (scalar fetch syncs the tunnel)
     best = np.inf
     for _ in range(3):
         t0 = time.time()
-        np.asarray(f(variables, x))
+        float(f(variables, x))
         best = min(best, (time.time() - t0) / K)
     return B * T / best
 

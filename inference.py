@@ -174,7 +174,7 @@ def build_parser():
     parser.add_argument('--model', type=str, default="v1", help='model architecture')
     parser.add_argument('--num_samples', type=int, default=3000, help='number of sequences to predict')
     parser.add_argument('--bf16', action='store_true', help='EXTENSION: run the forward in bfloat16')
-    parser.add_argument('--matmul_precision', type=str, default='float32', help="XLA matmul precision: 'float32' (true-f32, meets the 1e-3 MPJPE budget on TPU) or 'bfloat16' (1 MXU pass, faster, ~5e-3)")
+    parser.add_argument('--matmul_precision', type=str, default='tensorfloat32', help="XLA matmul precision: 'tensorfloat32' (3 bf16 MXU passes, 4e-5 MPJPE vs the torch reference — meets the 1e-3 budget at ~1.8x the speed of 'float32'), 'float32' (6 passes, 7.6e-7), or 'bfloat16' (1 pass, fastest, ~5e-3 — over budget)")
     parser.add_argument('--use_wandb', action='store_true', help='upload GIFs/metrics to wandb when available')
     return parser
 

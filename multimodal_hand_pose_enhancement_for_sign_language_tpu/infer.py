@@ -46,7 +46,7 @@ def run_inference(
     test_Y=None,
     mesh=None,
     bf16: bool = False,
-    matmul_precision: str = "float32",
+    matmul_precision: str = "tensorfloat32",
 ):
     """Eval-mode batched forward over (N, T, D) inputs.
 
@@ -58,10 +58,11 @@ def run_inference(
     `matmul_precision`: XLA matmul/conv precision for the forward.  On
     TPU the XLA DEFAULT lowers f32 matmuls to ONE bf16 MXU pass, which
     measures ~5e-3 MPJPE vs the torch reference through the save_results
-    geometry chain — outside the 1e-3 BASELINE budget
-    (TPU_MEASURE_r2.json "bf16_e2e_mpjpe").  Inference therefore defaults
-    to 'float32' (multi-pass, true-f32 accurate); pass 'bfloat16' to
-    trade parity for throughput.
+    geometry chain — outside the 1e-3 BASELINE budget.  The default
+    'tensorfloat32' (three bf16 passes) measures 4.0e-5 — inside the
+    budget with a 25x margin at ~1.8x the speed of 'float32' (six
+    passes, 7.6e-7); see TPU_PROBE.json "mpjpe_by_precision" and
+    "whole_forward_*".  Pass 'bfloat16' to trade parity for throughput.
     """
     if bf16:
         variables = jax.tree.map(
@@ -71,10 +72,14 @@ def run_inference(
             variables,
         )
 
-    with jax.default_matmul_precision(matmul_precision):
-
-        @jax.jit
-        def fwd(x, feats):
+    @jax.jit
+    def fwd(x, feats):
+        # The precision context must be live while jit TRACES the body —
+        # tracing happens lazily at the first call, so a context wrapped
+        # around the `@jax.jit` definition alone binds nothing (r2 bug:
+        # inference silently ran at DEFAULT 1-bf16-pass precision).
+        # Inside the traced function it binds unconditionally.
+        with jax.default_matmul_precision(matmul_precision):
             if bf16:
                 x = x.astype(jnp.bfloat16)
                 feats = feats.astype(jnp.bfloat16) if feats is not None else None

@@ -111,14 +111,47 @@ class ConvTranspose1d(nn.Module):
         )
         lo = self.kernel_size - 1 - self.padding
         hi = self.kernel_size - 1 - self.padding + self.output_padding
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel[::-1, :, :],
-            window_strides=(1,),
-            padding=[(lo, hi)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        flipped = kernel[::-1, :, :]
+        T_in = x.shape[1]
+        out_len = (T_in - 1) * self.stride - 2 * self.padding + self.kernel_size + self.output_padding
+        if self.stride == 2 and out_len == 2 * T_in:
+            # Even/odd output decomposition (sub-pixel form).  XLA on TPU
+            # lowers an lhs-dilated conv DENSELY — it multiplies the
+            # inserted zeros, costing 2x the useful MACs (measured: the
+            # decoder convT runs at 53 effective TFLOP/s of the dense
+            # count at HIGH precision, i.e. every zero is paid for;
+            # TPU_PROBE.json "layers_high").  With stride 2, output phase
+            # r in {0, 1} sees only alternating kernel taps:
+            #   y[2m + r] = sum_j x[m + (r + j - lo)//2] * W'[j]
+            #   over taps j with (r + j - lo) even  (W' = flipped kernel)
+            # so two half-size convs + an interleave perform the same
+            # multiplies and adds with no zeros — exact to within
+            # float addition order.  Valid whenever out_len == 2*T_in
+            # (k + output_padding - 2*padding == 2; the reference decoder
+            # config k=7, p=3, op=1 qualifies).
+            ys = []
+            for r in range(2):
+                taps = [j for j in range(self.kernel_size) if (r + j - lo) % 2 == 0]
+                shifts = [(r + j - lo) // 2 for j in taps]  # consecutive ints
+                wk = jnp.stack([flipped[j] for j in taps])  # (k_r, in, out)
+                yr = jax.lax.conv_general_dilated(
+                    x,
+                    wk,
+                    window_strides=(1,),
+                    padding=[(-shifts[0], shifts[-1])],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                ys.append(yr)
+            y = jnp.stack(ys, axis=2).reshape(x.shape[0], 2 * T_in, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                flipped,
+                window_strides=(1,),
+                padding=[(lo, hi)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         return y + bias
 
 

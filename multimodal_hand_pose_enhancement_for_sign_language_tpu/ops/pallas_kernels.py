@@ -116,6 +116,12 @@ def filter_sgd(
     spec = pl.BlockSpec((rows, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((b_pad * J_PAD, t_pad), x0.dtype)] * 3
 
+    # 7 in + 3 out pipelined blocks, double-buffered, + the 3-tuple loop
+    # carry: budget VMEM explicitly so chunk can exceed the compiler's
+    # default ~16 MB scoped limit (the occupancy lever — throughput
+    # scales with clips resident per kernel instance, STATUS roofline).
+    block_bytes = rows * t_pad * 4
+    vmem_limit = min(int(block_bytes * 23 * 1.25), 110 * 1024 * 1024)
     kernel = functools.partial(_filter_kernel, n_cycles, learning_rate)
     xo, yo, zo = pl.pallas_call(
         kernel,
@@ -124,6 +130,7 @@ def filter_sgd(
         out_specs=[spec] * 3,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(*tiles)
 
     def from_tiles(a):  # back to (B, T, J)

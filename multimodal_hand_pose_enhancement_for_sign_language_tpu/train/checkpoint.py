@@ -18,7 +18,30 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    def conv(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            # typed PRNG keys serialize as raw key data; ensure_key()
+            # rewraps on resume (impl recoverable from the data shape:
+            # threefry2x32 -> (2,), rbg -> (4,))
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    return jax.tree.map(conv, tree)
+
+
+def ensure_key(x):
+    """Rewrap a checkpointed PRNG key: raw uint32 key data (or a legacy
+    raw key from an old checkpoint) -> typed key.  Typed keys pass
+    through unchanged."""
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        return x
+    import jax.numpy as jnp
+
+    data = jnp.asarray(x)
+    impl = {2: "threefry2x32", 4: "rbg"}[data.shape[-1]]
+    return jax.random.wrap_key_data(data, impl=impl)
 
 
 def save_checkpoint(path: str, payload: dict, backend: str = "pickle") -> None:

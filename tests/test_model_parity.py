@@ -188,6 +188,36 @@ def test_gradient_parity_vs_torch_autograd(rng):
         )
 
 
+def test_convtranspose_evenodd_decomposition_matches_dilated(rng):
+    """ConvTranspose1d's stride-2 fast path (even/odd sub-pixel convs +
+    interleave — XLA lowers lhs-dilated convs densely, paying for every
+    inserted zero) must equal the literal dilated form, and non-qualifying
+    configs must fall back to it."""
+    import jax.numpy as jnp
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models.layers import (
+        ConvTranspose1d,
+    )
+
+    for k, s, p, op, Tin in [(7, 2, 3, 1, 96), (7, 2, 3, 1, 5), (4, 2, 1, 0, 8),
+                             (3, 1, 1, 0, 8), (6, 2, 2, 0, 9), (5, 3, 2, 0, 7)]:
+        m = ConvTranspose1d(6, k, stride=s, padding=p, output_padding=op)
+        x = jnp.asarray(rng.randn(2, Tin, 5).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(v, x))
+        kern = v["params"]["kernel"][::-1, :, :]
+        lo, hi = k - 1 - p, k - 1 - p + op
+        y_ref = np.asarray(
+            jax.lax.conv_general_dilated(
+                x, kern, (1,), [(lo, hi)], lhs_dilation=(s,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            + v["params"]["bias"]
+        )
+        assert y.shape == y_ref.shape, (k, s, p, op, Tin)
+        np.testing.assert_allclose(y, y_ref, atol=1e-5, err_msg=str((k, s, p, op)))
+
+
 def test_train_mode_updates_batch_stats(rng):
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
     variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=B, T=T)

@@ -79,6 +79,39 @@ def test_effective_gan_changes_gradients(rng):
     assert losses["ref"] != losses["eff"]
 
 
+def test_rbg_prng_training_and_key_checkpoint_roundtrip(tmp_path, rng):
+    """The trainer's dropout PRNG defaults to 'rbg' (TPU hardware RNG —
+    measured ~2x faster train-mode forward, TPU_PROBE.json); the typed
+    key must survive a pickle checkpoint round-trip via key-data
+    serialization + ensure_key rewrap, and training must continue."""
+    cfg = GanConfig(**TINY)
+    tr = GanTrainer(cfg)
+    state = tr.init_state()
+    assert jax.dtypes.issubdtype(state["rng"].dtype, jax.dtypes.prng_key)
+    x, y = _batch(rng, cfg)
+    state, g_loss = tr._g_step(state, x, y, None)
+    assert np.isfinite(float(g_loss))
+
+    path = str(tmp_path / "ck.pkl")
+    ckpt.save_checkpoint(path, {"epoch": 1, "state": state})
+    loaded = ckpt.load_checkpoint(path)
+    restored = loaded["state"]
+    # raw key data on disk; rewrap restores impl from the data shape
+    assert not jax.dtypes.issubdtype(
+        jnp.asarray(restored["rng"]).dtype, jax.dtypes.prng_key
+    )
+    restored["rng"] = ckpt.ensure_key(restored["rng"])
+    restored = jax.tree.map(jnp.asarray, restored, is_leaf=lambda l: l is None)
+    state2, g2 = tr._g_step(restored, x, y, None)
+    assert np.isfinite(float(g2))
+
+    # threefry option still available and continues from old-style
+    # (legacy raw uint32) checkpoints
+    legacy = np.asarray(jax.random.key_data(jax.random.key(0, impl="threefry2x32")))
+    k = ckpt.ensure_key(legacy)
+    assert jax.dtypes.issubdtype(k.dtype, jax.dtypes.prng_key)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     payload = {
         "epoch": 3,

@@ -107,6 +107,7 @@ def main(args):
         effective_gan=args.effective_gan,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         default_size=args.default_size,
+        prng_impl=args.prng_impl,
     )
     trainer = GanTrainer(cfg, mesh=mesh)
     state = trainer.init_state()
@@ -137,6 +138,8 @@ def main(args):
             os.path.join(args.model_path, f"lastCheckpoint_{args.exp_name}.pkl")
         )
         state.update(loaded["state"])
+        # checkpoints store PRNG keys as raw key data; rewrap as typed
+        state["rng"] = ckpt_lib.ensure_key(state["rng"])
         print(f"===> resumed from epoch {loaded['epoch']}", flush=True)
 
     g_sched = ReduceLROnPlateau(args.learning_rate)
@@ -258,6 +261,7 @@ def build_parser():
     parser.add_argument('--exp_name', type=str, default='experiment', help='name for the experiment')
     parser.add_argument('--patience', type=int, default=100, help='amount of epochs without loss improvement before termination')
     parser.add_argument('--use_checkpoint', action="store_true", help="use checkpoint from which to start training")
+    parser.add_argument('--prng_impl', type=str, default="rbg", choices=["rbg", "threefry2x32"], help="dropout PRNG: 'rbg' uses the TPU hardware RNG (~2x faster train-mode forward), 'threefry2x32' is backend-independent")
     parser.add_argument('--epochs_train_disc', type=int, default=3, help='train the discriminator every epochs_train_disc epochs')
     parser.add_argument('--model', type=str, default="v1", help='model architecture to be used')
     parser.add_argument('--disc_label_smooth', action="store_true", help="if True, use label smoothing for the discriminator")
