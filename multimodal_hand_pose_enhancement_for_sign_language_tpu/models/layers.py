@@ -92,6 +92,16 @@ class ConvTranspose1d(nn.Module):
     stride: int = 2
     padding: int = 3
     output_padding: int = 1
+    # Even/odd sub-pixel decomposition of the stride-2 form.  Evaluated
+    # and REJECTED as the default: although XLA lowers the lhs-dilated
+    # conv densely (paying a MAC for every inserted zero — the dense-count
+    # roofline in TPU_PROBE.json "layers_high" confirms it), the two
+    # half-size convs + interleave lower WORSE on the MXU and measured
+    # slower at every precision, both isolated (TPU_PROBE.json
+    # "convT_decomposition_isolated": 4.05 vs 3.52 ms at high) and inside
+    # the full training graph.  Kept behind this flag so the exactness
+    # test documents the measured decision.
+    decompose: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,21 +124,17 @@ class ConvTranspose1d(nn.Module):
         flipped = kernel[::-1, :, :]
         T_in = x.shape[1]
         out_len = (T_in - 1) * self.stride - 2 * self.padding + self.kernel_size + self.output_padding
-        if self.stride == 2 and out_len == 2 * T_in:
-            # Even/odd output decomposition (sub-pixel form).  XLA on TPU
-            # lowers an lhs-dilated conv DENSELY — it multiplies the
-            # inserted zeros, costing 2x the useful MACs (measured: the
-            # decoder convT runs at 53 effective TFLOP/s of the dense
-            # count at HIGH precision, i.e. every zero is paid for;
-            # TPU_PROBE.json "layers_high").  With stride 2, output phase
-            # r in {0, 1} sees only alternating kernel taps:
+        if self.decompose and self.stride == 2 and out_len == 2 * T_in:
+            # With stride 2, output phase r in {0, 1} sees only
+            # alternating kernel taps:
             #   y[2m + r] = sum_j x[m + (r + j - lo)//2] * W'[j]
             #   over taps j with (r + j - lo) even  (W' = flipped kernel)
             # so two half-size convs + an interleave perform the same
             # multiplies and adds with no zeros — exact to within
             # float addition order.  Valid whenever out_len == 2*T_in
             # (k + output_padding - 2*padding == 2; the reference decoder
-            # config k=7, p=3, op=1 qualifies).
+            # config k=7, p=3, op=1 qualifies).  See `decompose` above for
+            # why this is off by default.
             ys = []
             for r in range(2):
                 taps = [j for j in range(self.kernel_size) if (r + j - lo) % 2 == 0]

@@ -189,10 +189,10 @@ def test_gradient_parity_vs_torch_autograd(rng):
 
 
 def test_convtranspose_evenodd_decomposition_matches_dilated(rng):
-    """ConvTranspose1d's stride-2 fast path (even/odd sub-pixel convs +
-    interleave — XLA lowers lhs-dilated convs densely, paying for every
-    inserted zero) must equal the literal dilated form, and non-qualifying
-    configs must fall back to it."""
+    """ConvTranspose1d's opt-in stride-2 even/odd sub-pixel path (a
+    measured-and-rejected perf lever — see the `decompose` attribute)
+    must equal the literal dilated form, and non-qualifying configs must
+    fall back to it."""
     import jax.numpy as jnp
 
     from multimodal_hand_pose_enhancement_for_sign_language_tpu.models.layers import (
@@ -201,7 +201,8 @@ def test_convtranspose_evenodd_decomposition_matches_dilated(rng):
 
     for k, s, p, op, Tin in [(7, 2, 3, 1, 96), (7, 2, 3, 1, 5), (4, 2, 1, 0, 8),
                              (3, 1, 1, 0, 8), (6, 2, 2, 0, 9), (5, 3, 2, 0, 7)]:
-        m = ConvTranspose1d(6, k, stride=s, padding=p, output_padding=op)
+        m = ConvTranspose1d(6, k, stride=s, padding=p, output_padding=op,
+                            decompose=True)
         x = jnp.asarray(rng.randn(2, Tin, 5).astype(np.float32))
         v = m.init(jax.random.PRNGKey(0), x)
         y = np.asarray(m.apply(v, x))
