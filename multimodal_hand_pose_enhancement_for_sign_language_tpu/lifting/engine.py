@@ -84,9 +84,9 @@ def _interleave(Yx, Yy, Yz, dtype):
     return out
 
 
-def _lift_batch(kps, masks, noises, n_cycles: int, use_pallas: bool):
+def _lift_batch(kps, masks, noises, n_cycles: int, filter_impl: str):
     x0, y0, z0, Xx, Xy, Xw = jax.vmap(_init_core)(kps, masks, noises)
-    if use_pallas:
+    if filter_impl == "pallas":
         from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
             pallas_kernels,
         )
@@ -94,7 +94,15 @@ def _lift_batch(kps, masks, noises, n_cycles: int, use_pallas: bool):
         Yx, Yy, Yz = pallas_kernels.filter_sgd(
             x0, y0, z0, Xx, Xy, Xw, masks, _LR, n_cycles
         )
-    else:
+    elif filter_impl == "matpow":
+        # 900 sequential VPU cycles as ~12 batched MXU matmuls (the
+        # affine closed form); precision per MHPE_MATPOW_PRECISION.
+        Yx, Yy, Yz = filtering.filter_xyz_matpow(
+            x0, y0, z0, Xx, Xy, Xw, masks,
+            learning_rate=_LR, n_cycles=n_cycles,
+            precision=os.environ.get("MHPE_MATPOW_PRECISION", "float32"),
+        )
+    else:  # "xla": the vmapped fori_loop
         Yx, Yy, Yz = jax.vmap(
             lambda a, b, c, tx, ty, w, m: filtering.filter_xyz(
                 a, b, c, tx, ty, w, learning_rate=_LR, n_cycles=n_cycles, mask=m
@@ -106,7 +114,7 @@ def _lift_batch(kps, masks, noises, n_cycles: int, use_pallas: bool):
 _BATCHED_CACHE: dict = {}
 
 
-def _lift_batch_sharded(kps, masks, noises, n_cycles, use_pallas, mesh):
+def _lift_batch_sharded(kps, masks, noises, n_cycles, filter_impl, mesh):
     """Clip-batch data parallelism: shard_map over the mesh 'data' axis —
     the multi-chip replacement for the reference's Pool(24)-over-clips."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,7 +124,7 @@ def _lift_batch_sharded(kps, masks, noises, n_cycles, use_pallas, mesh):
     )
 
     fn = shard_map(
-        partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas),
+        partial(_lift_batch, n_cycles=n_cycles, filter_impl=filter_impl),
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=P("data"),
@@ -140,22 +148,31 @@ def use_pallas_default() -> bool:
         return False
 
 
-def _get_batched(n_cycles: int, use_pallas: bool, mesh=None):
+def filter_impl_default() -> str:
+    """'pallas' | 'xla' | 'matpow'.  MHPE_LIFT_FILTER overrides; else the
+    Pallas kernel on real TPUs, the XLA loop elsewhere."""
+    env = os.environ.get("MHPE_LIFT_FILTER")
+    if env in ("pallas", "xla", "matpow"):
+        return env
+    return "pallas" if use_pallas_default() else "xla"
+
+
+def _get_batched(n_cycles: int, filter_impl: str, mesh=None):
     # Mesh is hashable: equal meshes share one compiled program
-    key = (n_cycles, use_pallas, mesh)
+    key = (n_cycles, filter_impl, mesh)
     if key not in _BATCHED_CACHE:
         if mesh is not None and mesh.devices.size > 1:
             _BATCHED_CACHE[key] = jax.jit(
                 partial(
                     _lift_batch_sharded,
                     n_cycles=n_cycles,
-                    use_pallas=use_pallas,
+                    filter_impl=filter_impl,
                     mesh=mesh,
                 )
             )
         else:
             _BATCHED_CACHE[key] = jax.jit(
-                partial(_lift_batch, n_cycles=n_cycles, use_pallas=use_pallas)
+                partial(_lift_batch, n_cycles=n_cycles, filter_impl=filter_impl)
             )
     return _BATCHED_CACHE[key]
 
@@ -186,11 +203,15 @@ def lift_clips(
     max_batch: int = 128,
     use_pallas: bool | None = None,
     mesh=None,
+    filter_impl: str | None = None,
 ) -> list:
     """Lift a list of (T_i, 150) clips, shape-bucketed and batched.
 
     With `mesh`, the clip batch is sharded over the mesh 'data' axis
-    (shard_map) — the multi-chip replacement for Pool(24)-over-clips."""
+    (shard_map) — the multi-chip replacement for Pool(24)-over-clips.
+    `filter_impl` picks the 900-cycle filter backend ('pallas' VMEM
+    kernel, 'xla' fori_loop, 'matpow' MXU closed form); `use_pallas` is
+    the legacy boolean form of the same choice."""
     groups: dict = {}
     for i, c in enumerate(clips):
         c = np.asarray(c, np.float32)
@@ -198,10 +219,13 @@ def lift_clips(
         groups.setdefault(tb, []).append((i, c))
 
     out = [None] * len(clips)
-    if use_pallas is None:
-        use_pallas = use_pallas_default()
+    if filter_impl is None:
+        if use_pallas is None:
+            filter_impl = filter_impl_default()
+        else:
+            filter_impl = "pallas" if use_pallas else "xla"
     n_data = 1 if mesh is None else mesh.shape.get("data", 1)
-    fn = _get_batched(n_cycles, use_pallas, mesh=mesh)
+    fn = _get_batched(n_cycles, filter_impl, mesh=mesh)
     for tb, members in groups.items():
         for start in range(0, len(members), max_batch):
             chunk = members[start : start + max_batch]

@@ -110,6 +110,121 @@ def filter_xyz(
     return x, y, z
 
 
+def filter_xyz_matpow(
+    x0,
+    y0,
+    z0,
+    tarx,
+    tary,
+    w,
+    mask,
+    learning_rate: float = 20.0,
+    n_cycles: int = 900,
+    precision=None,
+):
+    """The 900-step SGD as ~12 batched MXU matmuls (batched over clips).
+
+    The SGD iteration of `filter_xyz` is AFFINE with fixed coefficients:
+
+        x <- x - lr*(W(x - tarx) + S x)  =  A x + b,
+        A = I - lr*(W + S),   b = lr * W tarx,
+
+    where W = diag(2*w*mask/(t_real*J)) is per (clip, joint) and S is the
+    symmetric tridiagonal smoothness operator (per clip).  So the exact
+    n_cycles-step result is the closed form
+
+        x_n = A^n x0 + (I + A + ... + A^{n-1}) b,
+
+    computable by affine square-and-multiply in ceil(log2(n)) squarings +
+    popcount-1 composes — 12 batched (T, T) matmuls for n=900 — on the
+    MXU instead of 900 sequential VPU cycles.  W is shared between the x
+    and y coordinates (one power chain, two offset vectors), and z has no
+    data term (A_z = I - lr*S is shared by all joints of a clip — its
+    chain is J times cheaper).  Exact to matmul precision: `precision`
+    threads to the dot_generals (None = ambient; on TPU
+    'tensorfloat32'/'float32' trade speed for bits — measured against the
+    iterative kernel in TPU_PROBE.json "filter_matpow").
+
+    Same contract as `filter_sgd`/vmapped `filter_xyz`: all tensor args
+    (B, T, J), mask (B, T); returns filtered (x, y, z).
+
+    Memory note: materializes (B, J, T, T) f32 — with T <= 192 buckets
+    and the engine's batch sizes this is O(1) GB; prefer the Pallas
+    kernel for very long clips (the sequence-parallel path covers 1920).
+    """
+    B, T, Jn = x0.shape
+    dtype = x0.dtype
+    t_real = jnp.sum(mask, axis=1)  # (B,)
+    dd = t_real * Jn
+    ds = (t_real - 1.0) * Jn
+
+    # Tridiagonal S per clip, scaled by lr/ds: (S x)_t = 2 d_t - 2 d_{t-1},
+    # d_t = (x_t - x_{t+1}) * pm_t  (pm_t = mask_t * mask_{t+1}, t < T-1).
+    pm = mask[:, :-1] * mask[:, 1:]  # (B, T-1)
+    pm_r = jnp.pad(pm, ((0, 0), (0, 1)))  # pm_t, t in [0, T)
+    pm_l = jnp.pad(pm, ((0, 0), (1, 0)))  # pm_{t-1}
+    s_scale = (learning_rate / ds)[:, None]
+    diag_s = 2.0 * (pm_r + pm_l) * s_scale  # (B, T)
+    off_s = -2.0 * pm * s_scale  # (B, T-1) super- and sub-diagonal
+    eye = jnp.eye(T, dtype=dtype)
+    sub = jnp.eye(T, k=-1, dtype=dtype)  # ones at (t, t-1)
+    sup = jnp.eye(T, k=1, dtype=dtype)  # ones at (t, t+1)
+    off_r = jnp.pad(off_s, ((0, 0), (0, 1)))  # row t -> off_s[t]
+    off_l = jnp.pad(off_s, ((0, 0), (1, 0)))  # row t -> off_s[t-1]
+    # A_z = I - lr*S (B, T, T); shared across joints.
+    A_z = (
+        eye
+        - diag_s[:, :, None] * eye
+        - off_r[:, :, None] * sup  # (t, t+1) = off_s[t]
+        - off_l[:, :, None] * sub  # (t, t-1) = off_s[t-1]
+    )
+
+    # Per-(clip, joint) data diagonal, shared by x and y.
+    wdiag = (2.0 * learning_rate / dd)[:, None, None] * (
+        w * mask[:, :, None]
+    )  # (B, T, J)
+    wdiag = jnp.swapaxes(wdiag, 1, 2)  # (B, J, T)
+    A_xy = A_z[:, None, :, :] - wdiag[..., None] * eye  # (B, J, T, T)
+    b_x = wdiag * jnp.swapaxes(tarx, 1, 2)  # (B, J, T)
+    b_y = wdiag * jnp.swapaxes(tary, 1, 2)
+
+    def matmul(a, b):
+        return jnp.einsum("...ij,...jk->...ik", a, b, precision=precision)
+
+    def matvec(a, v):
+        return jnp.einsum("...ij,...j->...i", a, v, precision=precision)
+
+    def affine_pow(A, bs, n):
+        """(P, qs) with P = A^n, qs[i] = (I + A + ... + A^{n-1}) bs[i]."""
+        Pr, qr = None, [None] * len(bs)  # identity affine
+        Pb, qb = A, list(bs)
+        while True:
+            if n & 1:
+                if Pr is None:
+                    Pr, qr = Pb, list(qb)
+                else:
+                    qr = [matvec(Pb, q) + p for q, p in zip(qr, qb)]
+                    Pr = matmul(Pb, Pr)
+            n >>= 1
+            if not n:
+                break
+            qb = [matvec(Pb, q) + q for q in qb]
+            Pb = matmul(Pb, Pb)
+        return Pr, qr
+
+    P_xy, (q_x, q_y) = affine_pow(A_xy, [b_x, b_y], n_cycles)
+    P_z, _ = affine_pow(A_z, [], n_cycles)
+
+    def apply_xy(P, q, s0):
+        s = matvec(P, jnp.swapaxes(s0, 1, 2)) + q  # (B, J, T)
+        return jnp.swapaxes(s, 1, 2)
+
+    x = apply_xy(P_xy, q_x, x0)
+    y = apply_xy(P_xy, q_y, y0)
+    z = jnp.swapaxes(matvec(P_z[:, None], jnp.swapaxes(z0, 1, 2)), 1, 2)
+    return x, y, z
+
+
 def loss_value(x, y, z, tarx, tary, w, lines, mask=None):
     """The filtering loss (for logging/tests), incl. the constant
     sum(exp(lines)) term (pose3D.py:94-99)."""

@@ -21,11 +21,53 @@ once at the model boundary.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Per-layer matmul-precision policy.
+#
+# TPU matmul precision is a real operating point: one bf16 MXU pass
+# (DEFAULT/'bfloat16') is ~2x faster than three ('tensorfloat32') but its
+# end-to-end MPJPE misses the 1e-3 parity budget (TPU_PROBE.json
+# "mpjpe_by_precision_traced_inside").  If only *some* layers carry the
+# error, a mixed assignment sits between the two blanket points.  The
+# overrides map flax module-path substrings (e.g. "decoder/Conv1d_0") to a
+# precision string ('bfloat16' | 'tensorfloat32' | 'float32'); the longest
+# matching key wins.  Binding happens at TRACE time — wrap the traced
+# apply, exactly like jax.default_matmul_precision.
+# ---------------------------------------------------------------------------
+
+_precision_overrides = threading.local()
+
+
+@contextmanager
+def matmul_precision_overrides(overrides):
+    """Trace-time per-layer matmul precision, keyed by flax module-path
+    substring.  `None` values mean "inherit the ambient context"."""
+    prev = getattr(_precision_overrides, "value", None)
+    _precision_overrides.value = dict(overrides)
+    try:
+        yield
+    finally:
+        _precision_overrides.value = prev
+
+
+def _resolve_precision(path) -> Optional[Any]:
+    overrides = getattr(_precision_overrides, "value", None)
+    if not overrides:
+        return None
+    joined = "/".join(str(p) for p in path)
+    best, best_len = None, -1
+    for key, val in overrides.items():
+        if key in joined and len(key) > best_len:
+            best, best_len = val, len(key)
+    return None if best is None else jax.lax.Precision(best)
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -74,6 +116,7 @@ class Conv1d(nn.Module):
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=_resolve_precision(self.path),
         )
         return y + bias
 
@@ -146,6 +189,7 @@ class ConvTranspose1d(nn.Module):
                     window_strides=(1,),
                     padding=[(-shifts[0], shifts[-1])],
                     dimension_numbers=("NWC", "WIO", "NWC"),
+                    precision=_resolve_precision(self.path),
                 )
                 ys.append(yr)
             y = jnp.stack(ys, axis=2).reshape(x.shape[0], 2 * T_in, self.features)
@@ -157,6 +201,7 @@ class ConvTranspose1d(nn.Module):
                 padding=[(lo, hi)],
                 lhs_dilation=(self.stride,),
                 dimension_numbers=("NWC", "WIO", "NWC"),
+                precision=_resolve_precision(self.path),
             )
         return y + bias
 

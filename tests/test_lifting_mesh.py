@@ -24,3 +24,15 @@ def test_mesh_sharded_lifting_matches(rng):
     sharded_p = engine.lift_clips(clips, n_cycles=15, use_pallas=True, mesh=mesh)
     for a, b in zip(single, sharded_p):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_matpow_filter_impl_matches_xla(rng):
+    """The engine's 'matpow' backend (MXU closed form) equals the XLA
+    fori_loop through the full lift pipeline, incl. bucketing."""
+    kp = rng.uniform(100, 500, size=(30, 150)).astype(np.float32)
+    kp[:, 2::3] = rng.uniform(0.5, 1.0, size=(30, 50))
+    clips = [kp, kp[:20], kp[:25]]
+    xla = engine.lift_clips(clips, n_cycles=15, filter_impl="xla")
+    mp = engine.lift_clips(clips, n_cycles=15, filter_impl="matpow")
+    for a, b in zip(xla, mp):
+        np.testing.assert_allclose(a, b, atol=2e-4)

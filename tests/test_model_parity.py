@@ -219,6 +219,35 @@ def test_convtranspose_evenodd_decomposition_matches_dilated(rng):
         np.testing.assert_allclose(y, y_ref, atol=1e-5, err_msg=str((k, s, p, op)))
 
 
+def test_matmul_precision_overrides(rng):
+    """Per-layer precision overrides: longest-matching-key resolution, and
+    the context is numerically inert on CPU (precision is a TPU MXU
+    operating point; CPU convs are f32 regardless)."""
+    import jax.numpy as jnp
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import layers
+
+    with layers.matmul_precision_overrides(
+        {"Conv1d_0": "float32", "decoder/Conv1d_0": "tensorfloat32"}
+    ):
+        assert layers._resolve_precision(("conv5", "Conv1d_0")) == jax.lax.Precision.HIGHEST
+        # longest key wins
+        assert (
+            layers._resolve_precision(("decoder", "Conv1d_0"))
+            == jax.lax.Precision.HIGH
+        )
+        assert layers._resolve_precision(("decoder", "BatchNorm_0")) is None
+    assert layers._resolve_precision(("conv5", "Conv1d_0")) is None  # restored
+
+    module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
+    variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=2, T=T)
+    x = jnp.asarray(rng.randn(2, T, IN_DIM).astype(np.float32))
+    y0 = module.apply(variables, x, None, False)
+    with layers.matmul_precision_overrides({"Conv1d_0": "tensorfloat32"}):
+        y1 = module.apply(variables, x, None, False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
 def test_train_mode_updates_batch_stats(rng):
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
     variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=B, T=T)

@@ -46,6 +46,30 @@ def test_filter_sgd_matches_pure_jax(rng):
         np.testing.assert_allclose(np.asarray(pz)[b], np.asarray(jz), atol=2e-4)
 
 
+@pytest.mark.parametrize("n_cycles", [1, 2, 57, 900])
+def test_filter_matpow_matches_iterative(rng, n_cycles):
+    """The affine square-and-multiply closed form (filter_xyz_matpow, ~12
+    batched MXU matmuls) equals n_cycles iterative SGD steps — including
+    masked/bucketed short clips and non-power-of-two cycle counts."""
+    x0, y0, z0, tarx, tary, w, mask = _filter_inputs(rng)
+    lr = 20.0
+    mx, my, mz = filtering.filter_xyz_matpow(
+        *(jnp.asarray(a) for a in (x0, y0, z0, tarx, tary, w)),
+        jnp.asarray(mask),
+        learning_rate=lr,
+        n_cycles=n_cycles,
+        precision="highest",
+    )
+    for b in range(x0.shape[0]):
+        jx, jy, jz = filtering.filter_xyz(
+            x0[b], y0[b], z0[b], tarx[b], tary[b], w[b],
+            learning_rate=lr, n_cycles=n_cycles, mask=mask[b],
+        )
+        np.testing.assert_allclose(np.asarray(mx)[b], np.asarray(jx), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(my)[b], np.asarray(jy), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(mz)[b], np.asarray(jz), atol=3e-4)
+
+
 def test_filter_sgd_odd_batch_chunking(rng):
     """Batch not divisible by the chunk size pads cleanly."""
     x0, y0, z0, tarx, tary, w, mask = _filter_inputs(rng, B=5, T=16)
