@@ -141,9 +141,18 @@ def filter_xyz_matpow(
     and y coordinates (one power chain, two offset vectors), and z has no
     data term (A_z = I - lr*S is shared by all joints of a clip — its
     chain is J times cheaper).  Exact to matmul precision: `precision`
-    threads to the dot_generals (None = ambient; on TPU
-    'tensorfloat32'/'float32' trade speed for bits — measured against the
-    iterative kernel in TPU_PROBE.json "filter_matpow").
+    threads to the dot_generals.
+
+    MEASURED AND REJECTED as the TPU production path (TPU_PROBE.json
+    "filter_matpow", B=256 T=128): each squaring streams the full
+    (B, J, T, T) operand through HBM (~840 MB) while the Pallas kernel
+    runs the whole loop VMEM-resident with ~zero HBM traffic, so matpow
+    is 2-3x SLOWER (46-70 ms vs 23.6 ms) — and the power chain amplifies
+    matmul rounding, so only 'float32' (6-pass) meets the error budget
+    (bf16 err 4.3, tf32 err 1.8e-2, f32 5e-5).  Kept as a correct,
+    tested alternative backend (engine filter_impl='matpow', default
+    precision float32) and as the record of why the iterative VMEM
+    kernel is the right TPU design.
 
     Same contract as `filter_sgd`/vmapped `filter_xyz`: all tensor args
     (B, T, J), mask (B, T); returns filtered (x, y, z).

@@ -1,14 +1,15 @@
 """Pallas TPU kernels for the hot elementwise loops.
 
 1. ``filter_sgd``   — the lifting engine's 900-iteration SGD xyz smoothing
-   (chunk=32 clips per kernel instance: best of the measured 8/16/32
-   sweep, 989K vs 958K frames/s; 64+ exceeds the 16 MB scoped-VMEM
-   limit — TPU_MEASURE_r2.json "filter_chunk_sweep")
    (lifting/filtering.py).  The pure-XLA `fori_loop` writes its carry to
    HBM every iteration; this kernel keeps the whole (clips x joints x
    time) tile resident in VMEM for all iterations, with the temporal
    neighbor terms as lane rolls.  Layout: clips fold into the sublane
-   axis ((chunk * J_PAD, T_PAD) f32 tiles), time rides the lanes.
+   axis (dense clip-major (chunk * J, T_PAD) f32 tiles — no per-clip
+   J->56 alignment padding — the dense packing bought +9.6%), time rides
+   the lanes.  chunk=64 default (measured best of the 32/64/128 sweep:
+   1.515M vs 1.442M kernel frames/s,
+   TPU_PROBE.json "filter_chunk_sweep_vmem_raised").
 
 2. ``robust_loss``  — the Barron general robust loss with its gradient
    w.r.t. x, fused into one VPU pass over (rows, lanes) tiles (BASELINE's
@@ -34,7 +35,6 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.losses.robust import
 )
 
 J = 50  # joints
-J_PAD = 56  # sublane-aligned joints (multiple of 8)
 _MACHINE_EPS = np.float32(np.finfo(np.float32).eps)
 
 
@@ -50,24 +50,38 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _filter_kernel(n_cycles, lr, x_ref, y_ref, z_ref, tx_ref, ty_ref, w2_ref, pm_ref, xo_ref, yo_ref, zo_ref):
-    tarx = tx_ref[:]
-    tary = ty_ref[:]
-    w2 = w2_ref[:]  # 2 * w * mask / (t_real * nPoints), per row
-    pm = pm_ref[:]  # pair_mask / ((t_real - 1) * nPoints), per row
+def _filter_kernel(n_cycles, x_ref, y_ref, z_ref, bx_ref, by_ref, a_ref, pm_ref, xo_ref, yo_ref, zo_ref):
+    # Every constant is folded into the precomputed tiles host-side: with
+    # a = 1 - lr*w2, b = lr*w2*tar and pm' = 2*lr*pair/ds, one SGD step
+    # per coordinate is
+    #   s <- a*s + b - sd + roll(sd, 1),   sd = (s - roll(s, -1)) * pm'
+    # (a == 1, b == 0 for z, which has no data term): 22 VPU ops/cycle
+    # instead of the 30 of the literal gradient form.  Measured NEUTRAL
+    # on the chip (the 27% op cut moved <1% — the loop is bound by the
+    # per-iteration VMEM round-trips of the carry, not op issue), kept
+    # for the simpler dependency chain; the row-packing above is what
+    # actually pays.
+    bx = bx_ref[:]  # lr * w2 * tarx, per row
+    by = by_ref[:]
+    a = a_ref[:]  # 1 - lr * w2
+    pm = pm_ref[:]  # 2 * lr * pair_mask / ((t_real - 1) * nPoints)
 
     def body(_, state):
         x, y, z = state
+        L = x.shape[1]
 
-        def smooth(s):
+        def sd(s):
             # pltpu.roll wants non-negative shifts: roll(-1) == roll(L-1)
-            sd = (s - pltpu.roll(s, s.shape[1] - 1, axis=1)) * pm
-            return 2.0 * (sd - pltpu.roll(sd, 1, axis=1))
+            return (s - pltpu.roll(s, L - 1, axis=1)) * pm
 
-        gx = w2 * (x - tarx) + smooth(x)
-        gy = w2 * (y - tary) + smooth(y)
-        gz = smooth(z)
-        return (x - lr * gx, y - lr * gy, z - lr * gz)
+        dx = sd(x)
+        dy = sd(y)
+        dz = sd(z)
+        return (
+            a * x + bx - dx + pltpu.roll(dx, 1, axis=1),
+            a * y + by - dy + pltpu.roll(dy, 1, axis=1),
+            z - dz + pltpu.roll(dz, 1, axis=1),
+        )
 
     x, y, z = jax.lax.fori_loop(
         0, n_cycles, body, (x_ref[:], y_ref[:], z_ref[:])
@@ -79,7 +93,7 @@ def _filter_kernel(n_cycles, lr, x_ref, y_ref, z_ref, tx_ref, ty_ref, w2_ref, pm
 
 def filter_sgd(
     x0, y0, z0, tarx, tary, w, mask, learning_rate: float, n_cycles: int,
-    chunk: int = 32, interpret: bool | None = None,
+    chunk: int = 64, interpret: bool | None = None,
 ):
     """Batched fused filtering.
 
@@ -91,30 +105,45 @@ def filter_sgd(
         interpret = not _on_tpu()
     B, T, _ = x0.shape
     t_pad = max(128, -(-T // 128) * 128)
+    # Rows pack DENSELY as clip-major (B*J, T): nothing in the kernel
+    # indexes by clip (all row-wise elementwise with per-row coefficient
+    # tiles; rolls ride the lanes), so no per-clip sublane alignment is
+    # needed — padding J 50->56 would waste 12% of all VPU work.  Block
+    # row counts stay sublane-aligned because chunk*J % 8 == 0 for the
+    # chunk sizes used (chunk % 4 == 0).
+    if chunk % 4:
+        chunk = -(-chunk // 4) * 4
     n_chunks = -(-B // chunk)
     b_pad = n_chunks * chunk
 
-    def to_tiles(a):  # (B, T, J) -> (b_pad * J_PAD, t_pad)
+    def to_tiles(a):  # (B, T, J) -> (b_pad * J, t_pad)
         a = jnp.swapaxes(a, 1, 2)  # (B, J, T)
-        a = jnp.pad(a, ((0, b_pad - B), (0, J_PAD - J), (0, t_pad - T)))
-        return a.reshape(b_pad * J_PAD, t_pad)
+        a = jnp.pad(a, ((0, b_pad - B), (0, 0), (0, t_pad - T)))
+        return a.reshape(b_pad * J, t_pad)
 
     t_real = jnp.sum(mask, axis=1)  # (B,)
     dd = t_real * J  # data denom
     ds = (t_real - 1.0) * J  # smoothness denom
+    lr = jnp.asarray(learning_rate, x0.dtype)
 
-    w2_rows = 2.0 * w * mask[:, :, None] / dd[:, None, None]  # (B, T, J)
+    # lr and the gradient's 2x are folded into the tiles (see kernel note)
+    lw2 = 2.0 * lr * w * mask[:, :, None] / dd[:, None, None]  # lr * w2
+    bx_rows = lw2 * tarx
+    by_rows = lw2 * tary
+    a_rows = 1.0 - lw2
     # pair mask over time: valid for t < t_real - 1 (mask_t * mask_{t+1})
     pair = mask[:, :-1] * mask[:, 1:]
     pair = jnp.concatenate([pair, jnp.zeros((B, 1), mask.dtype)], axis=1)  # (B, T)
-    pm_rows = (pair / ds[:, None])[:, :, None] * jnp.ones((1, 1, J), mask.dtype)
+    pm_rows = (2.0 * lr * pair / ds[:, None])[:, :, None] * jnp.ones(
+        (1, 1, J), mask.dtype
+    )
 
-    tiles = [to_tiles(a) for a in (x0, y0, z0, tarx, tary, w2_rows, pm_rows)]
+    tiles = [to_tiles(a) for a in (x0, y0, z0, bx_rows, by_rows, a_rows, pm_rows)]
 
-    rows = chunk * J_PAD
+    rows = chunk * J
     grid = (n_chunks,)
     spec = pl.BlockSpec((rows, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((b_pad * J_PAD, t_pad), x0.dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((b_pad * J, t_pad), x0.dtype)] * 3
 
     # 7 in + 3 out pipelined blocks, double-buffered, + the 3-tuple loop
     # carry: budget VMEM explicitly so chunk can exceed the compiler's
@@ -122,7 +151,7 @@ def filter_sgd(
     # scales with clips resident per kernel instance, STATUS roofline).
     block_bytes = rows * t_pad * 4
     vmem_limit = min(int(block_bytes * 23 * 1.25), 110 * 1024 * 1024)
-    kernel = functools.partial(_filter_kernel, n_cycles, learning_rate)
+    kernel = functools.partial(_filter_kernel, n_cycles)
     xo, yo, zo = pl.pallas_call(
         kernel,
         grid=grid,
@@ -134,7 +163,7 @@ def filter_sgd(
     )(*tiles)
 
     def from_tiles(a):  # back to (B, T, J)
-        a = a.reshape(b_pad, J_PAD, t_pad)[:B, :J, :T]
+        a = a.reshape(b_pad, J, t_pad)[:B, :, :T]
         return jnp.swapaxes(a, 1, 2)
 
     return from_tiles(xo), from_tiles(yo), from_tiles(zo)
