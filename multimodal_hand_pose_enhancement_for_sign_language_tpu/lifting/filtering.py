@@ -38,29 +38,48 @@ def fk_from_angles(lines, rootsx, rootsy, rootsz, anglesx, anglesy, anglesz):
     eps = 1e-10
     L_per_bone = jnp.exp(lines[jnp.asarray(skeleton.BONE_LENGTH_CLASS)])
 
-    P0 = jnp.zeros((T, n, 3), rootsx.dtype)
-    P0 = P0.at[:, 0, 0].set(rootsx[:, 0])
-    P0 = P0.at[:, 0, 1].set(rootsy[:, 0])
-    P0 = P0.at[:, 0, 2].set(rootsz[:, 0])
+    # Joint-major (n, T) coordinate planes: full-width lanes per scan
+    # step (see init3d.initialization's layout note).
+    Px0 = jnp.zeros((n, T), rootsx.dtype).at[0].set(rootsx[:, 0])
+    Py0 = jnp.zeros((n, T), rootsx.dtype).at[0].set(rootsy[:, 0])
+    Pz0 = jnp.zeros((n, T), rootsx.dtype).at[0].set(rootsz[:, 0])
 
-    A = jnp.stack([anglesx, anglesy, anglesz], axis=-1)  # (T, 49, 3)
-    normA = jnp.sqrt(jnp.sum(A * A, axis=-1, keepdims=True)) + eps
-    U = A / normA
+    normA = (
+        jnp.sqrt(anglesx * anglesx + anglesy * anglesy + anglesz * anglesz)
+        + eps
+    )  # (T, 49)
+    Ux = jnp.swapaxes(anglesx / normA, 0, 1)  # (49, T)
+    Uy = jnp.swapaxes(anglesy / normA, 0, 1)
+    Uz = jnp.swapaxes(anglesz / normA, 0, 1)
 
-    def step(P, inputs):
-        a, b, L, u = inputs  # u: (T, 3)
-        pb = P[:, a, :] + L * u
-        P = jax.lax.dynamic_update_slice(P, pb[:, None, :], (0, b, 0))
-        return P, None
+    def step(carry, inputs):
+        Px, Py, Pz = carry
+        a, b, L, ux, uy, uz = inputs  # ux: (T,)
+        Px = jax.lax.dynamic_update_index_in_dim(
+            Px, jax.lax.dynamic_index_in_dim(Px, a, 0, False) + L * ux, b, 0
+        )
+        Py = jax.lax.dynamic_update_index_in_dim(
+            Py, jax.lax.dynamic_index_in_dim(Py, a, 0, False) + L * uy, b, 0
+        )
+        Pz = jax.lax.dynamic_update_index_in_dim(
+            Pz, jax.lax.dynamic_index_in_dim(Pz, a, 0, False) + L * uz, b, 0
+        )
+        return (Px, Py, Pz), None
 
     inputs = (
         jnp.asarray(skeleton.BONE_START),
         jnp.asarray(skeleton.BONE_END),
         L_per_bone,
-        jnp.swapaxes(U, 0, 1),
+        Ux,
+        Uy,
+        Uz,
     )
-    P, _ = jax.lax.scan(step, P0, inputs)
-    return P[..., 0], P[..., 1], P[..., 2]
+    (Px, Py, Pz), _ = jax.lax.scan(step, (Px0, Py0, Pz0), inputs)
+    return (
+        jnp.swapaxes(Px, 0, 1),
+        jnp.swapaxes(Py, 0, 1),
+        jnp.swapaxes(Pz, 0, 1),
+    )
 
 
 def _smooth_grad(s, mask):

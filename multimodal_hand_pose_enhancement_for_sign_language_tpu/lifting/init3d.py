@@ -58,11 +58,17 @@ def bone_length_classes(Xx, Xy, mask=None, dtype=jnp.float32):
 
 def compute_b(ax, ay, az, tx, ty, L):
     """Closed-form angle hypothesis solve, vectorized over frames.
+    Returns the winning (bx, by, bz) as three arrays shaped like `ax`.
 
     Faithful transcription of pose2Dto3D.py:33-65: up to six hypotheses
     per frame, first minimum of the 2D reprojection error wins (strict >
     comparison == first-argmin).
-    """
+
+    TPU layout note: the hypotheses are kept as SEPARATE same-shape
+    arrays with an explicit first-minimum where-chain instead of a
+    stacked (..., 5, 3) tensor — stacking put the 3-wide coordinate axis
+    in the lane dimension (~2% lane utilization), which made this scan
+    75% of end-to-end lift time (TPU_PROBE.json "init_split")."""
     dx = tx - ax
     dy = ty - ay
     # h0: in-plane direction
@@ -85,46 +91,42 @@ def compute_b(ax, ay, az, tx, ty, L):
     xy1 = foo3
     xy2 = foo4
 
-    def stack_h(hx, hy, hz):
-        return jnp.stack([hx, hy, hz], axis=-1)
-
     zeros = jnp.zeros_like(dx)
-    hyps = jnp.stack(
-        [
-            stack_h(dx, dy, zeros),
-            stack_h(dx, dy, -sq),
-            stack_h(dx, dy, sq),
-            stack_h(xx1 - ax, xy1 - ay, zeros),
-            stack_h(xx2 - ax, xy2 - ay, zeros),
-        ],
-        axis=-2,
-    )  # (T, 5, 3)
-
     finite34 = jnp.isfinite(0.0 * xx1 * xx2 * xy1 * xy2)
-    valid = jnp.stack(
-        [
-            jnp.ones_like(dx, bool),
-            foo >= 0,
-            foo >= 0,
-            finite34,
-            finite34,
-        ],
-        axis=-1,
-    )  # (T, 5)
+    candidates = [
+        (dx, dy, zeros, jnp.ones_like(dx, bool)),
+        (dx, dy, -sq, foo >= 0),
+        (dx, dy, sq, foo >= 0),
+        (xx1 - ax, xy1 - ay, zeros, finite34),
+        (xx2 - ax, xy2 - ay, zeros, finite34),
+    ]
 
-    norm_h = jnp.sqrt(jnp.sum(hyps * hyps, axis=-1)) + _EPS
-    xi_x = ax[..., None] + L * hyps[..., 0] / norm_h
-    xi_y = ay[..., None] + L * hyps[..., 1] / norm_h
-    Li_raw = (xi_x - tx[..., None]) ** 2 + (xi_y - ty[..., None]) ** 2
-    Li = jnp.where(valid & jnp.isfinite(Li_raw), Li_raw, jnp.inf)
-    best = jnp.argmin(Li, axis=-1)  # first minimum, matching strict >
+    def reproj_err(hx, hy, hz):
+        norm_h = jnp.sqrt(hx * hx + hy * hy + hz * hz) + _EPS
+        xi_x = ax + L * hx / norm_h
+        xi_y = ay + L * hy / norm_h
+        return (xi_x - tx) ** 2 + (xi_y - ty) ** 2
+
+    h0x, h0y, h0z, _ = candidates[0]
+    L0_raw = reproj_err(h0x, h0y, h0z)
+    best_l = jnp.where(jnp.isfinite(L0_raw), L0_raw, jnp.inf)
+    bx, by, bz = h0x, h0y, h0z
+    for hx, hy, hz, valid in candidates[1:]:
+        li_raw = reproj_err(hx, hy, hz)
+        li = jnp.where(valid & jnp.isfinite(li_raw), li_raw, jnp.inf)
+        better = li < best_l  # strict: ties keep the earlier hypothesis
+        best_l = jnp.where(better, li, best_l)
+        bx = jnp.where(better, hx, bx)
+        by = jnp.where(better, hy, by)
+        bz = jnp.where(better, hz, bz)
     # reference quirk (pose2Dto3D.py:52-64): the first hypothesis is always
     # assigned (Lmin is None), and a NaN Lmin is never displaced — so when
     # h0's error is non-finite, h0 wins regardless of later hypotheses
-    best = jnp.where(jnp.isfinite(Li_raw[..., 0]), best, 0)
-    return jnp.take_along_axis(hyps, best[..., None, None].repeat(3, -1), -2)[
-        ..., 0, :
-    ]
+    keep0 = ~jnp.isfinite(L0_raw)
+    bx = jnp.where(keep0, h0x, bx)
+    by = jnp.where(keep0, h0y, by)
+    bz = jnp.where(keep0, h0z, bz)
+    return bx, by, bz
 
 
 def initialization(Xx, Xy, Xw, sigma, noise=None, rng=None, dtype="float32", mask=None):
@@ -156,17 +158,26 @@ def initialization(Xx, Xy, Xw, sigma, noise=None, rng=None, dtype="float32", mas
         rootsy = rootsy + jax.random.uniform(k2, (T,), Xx.dtype, -sigma, sigma)
         rootsz = rootsz + jax.random.uniform(k3, (T,), Xx.dtype, -sigma, sigma)
 
-    Y0 = jnp.zeros((T, n, 3), Xx.dtype)
-    Y0 = Y0.at[:, 0, 0].set(rootsx)
-    Y0 = Y0.at[:, 0, 1].set(rootsy)
-    Y0 = Y0.at[:, 0, 2].set(rootsz)
+    # Joint-major (n, T) coordinate planes: time rides the TPU lane
+    # dimension at full width, and each scan step's read/update touches
+    # one contiguous row.  The old (T, n, 3) carry put the 3-wide axis in
+    # the lanes (~2% utilization) — this scan was 75% of end-to-end lift
+    # time (TPU_PROBE.json "init_split").
+    XxT = jnp.swapaxes(Xx, 0, 1)  # (n, T)
+    XyT = jnp.swapaxes(Xy, 0, 1)
+    Yx0 = jnp.zeros((n, T), Xx.dtype).at[0].set(rootsx)
+    Yy0 = jnp.zeros((n, T), Xx.dtype).at[0].set(rootsy)
+    Yz0 = jnp.zeros((n, T), Xx.dtype).at[0].set(rootsz)
 
-    def step(Y, inputs):
+    def step(carry, inputs):
+        Yx, Yy, Yz = carry
         a, b, L = inputs
-        ax, ay, az = Y[:, a, 0], Y[:, a, 1], Y[:, a, 2]
-        tx, ty = Xx[:, b], Xy[:, b]
-        angle = compute_b(ax, ay, az, tx, ty, L)
-        gx, gy, gz = angle[:, 0], angle[:, 1], angle[:, 2]
+        ax = jax.lax.dynamic_index_in_dim(Yx, a, 0, keepdims=False)
+        ay = jax.lax.dynamic_index_in_dim(Yy, a, 0, keepdims=False)
+        az = jax.lax.dynamic_index_in_dim(Yz, a, 0, keepdims=False)
+        tx = jax.lax.dynamic_index_in_dim(XxT, b, 0, keepdims=False)
+        ty = jax.lax.dynamic_index_in_dim(XyT, b, 0, keepdims=False)
+        gx, gy, gz = compute_b(ax, ay, az, tx, ty, L)
         # nan/inf guards (pose2Dto3D.py:130-143)
         gx = jnp.where(jnp.isfinite(gx), gx, 0.0)
         gy = jnp.where(jnp.isfinite(gy), gy, 0.0)
@@ -178,31 +189,29 @@ def initialization(Xx, Xy, Xw, sigma, noise=None, rng=None, dtype="float32", mas
         gz = jnp.abs(gz) + 0.001
         norm = jnp.sqrt(gx * gx + gy * gy + gz * gz) + _EPS
         gx, gy, gz = gx / norm, gy / norm, gz / norm
-        pb = jnp.stack(
-            [Y[:, a, 0] + L * gx, Y[:, a, 1] + L * gy, Y[:, a, 2] + L * gz], -1
-        )
-        Y = jax.lax.dynamic_update_slice(Y, pb[:, None, :], (0, b, 0))
-        return Y, jnp.stack([gx, gy, gz], -1)
+        Yx = jax.lax.dynamic_update_index_in_dim(Yx, ax + L * gx, b, 0)
+        Yy = jax.lax.dynamic_update_index_in_dim(Yy, ay + L * gy, b, 0)
+        Yz = jax.lax.dynamic_update_index_in_dim(Yz, az + L * gz, b, 0)
+        return (Yx, Yy, Yz), (gx, gy, gz)
 
     inputs = (
         jnp.asarray(skeleton.BONE_START),
         jnp.asarray(skeleton.BONE_END),
         L_per_bone,
     )
-    Y, angles = jax.lax.scan(step, Y0, inputs)  # angles: (49, T, 3)
-    anglesx = jnp.swapaxes(angles[..., 0], 0, 1)  # (T, 49)
-    anglesy = jnp.swapaxes(angles[..., 1], 0, 1)
-    anglesz = jnp.swapaxes(angles[..., 2], 0, 1)
+    (Yx, Yy, Yz), (gxs, gys, gzs) = jax.lax.scan(
+        step, (Yx0, Yy0, Yz0), inputs
+    )  # gxs: (49, T)
 
     return (
         lines,
         rootsx[:, None],
         rootsy[:, None],
         rootsz[:, None],
-        anglesx,
-        anglesy,
-        anglesz,
-        Y[..., 0],
-        Y[..., 1],
-        Y[..., 2],
+        jnp.swapaxes(gxs, 0, 1),  # (T, 49)
+        jnp.swapaxes(gys, 0, 1),
+        jnp.swapaxes(gzs, 0, 1),
+        jnp.swapaxes(Yx, 0, 1),  # (T, n)
+        jnp.swapaxes(Yy, 0, 1),
+        jnp.swapaxes(Yz, 0, 1),
     )
