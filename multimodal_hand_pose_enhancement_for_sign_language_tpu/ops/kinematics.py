@@ -36,19 +36,6 @@ N_JOINTS = skeleton.N_JOINTS
 N_BONES = skeleton.N_BONES
 
 
-def _rodrigues(u: jax.Array, axis: jax.Array, theta: jax.Array) -> jax.Array:
-    """Rotate vectors u (..., 3) by (axis, theta); matches the formula at
-    conversion_utils.py:131-133 (axis assumed unit-norm, as produced by
-    dividing the axis-angle vector by its own norm)."""
-    cos_t = jnp.cos(theta)[..., None]
-    sin_t = jnp.sin(theta)[..., None]
-    return (
-        u * cos_t
-        + jnp.cross(axis, u) * sin_t
-        + axis * jnp.sum(axis * u, axis=-1, keepdims=True) * (1.0 - cos_t)
-    )
-
-
 def clip_aa_to_xyz(aa_clip: jax.Array, root: jax.Array, bone_len: jax.Array) -> jax.Array:
     """FK for one clip: (T, 144) aa + (6,) root + (49,) bone_len -> (T, 150).
 
@@ -60,32 +47,56 @@ def clip_aa_to_xyz(aa_clip: jax.Array, root: jax.Array, bone_len: jax.Array) -> 
     aa = aa_clip.reshape(T, N_BONES - 1, 3)
     root = root.astype(aa_clip.dtype)
 
-    xyz0 = jnp.zeros((T, N_JOINTS, 3), dtype=aa_clip.dtype)
-    xyz0 = xyz0.at[:, 0, :].set(root[0:3])
-    xyz0 = xyz0.at[:, 1, :].set(root[3:6])
+    # Joint-major (n, T) coordinate planes: time rides the TPU lane
+    # dimension at full width (the stacked (T, n, 3) carry put the
+    # 3-wide axis in the lanes at ~2% utilization — same find as
+    # lifting/init3d, TPU_PROBE.json "init_split").  The rotation
+    # invariants (theta, axis, cos, sin) are carry-independent, so they
+    # are precomputed for all 48 bones outside the scan.
+    Px0 = jnp.zeros((N_JOINTS, T), aa_clip.dtype).at[0].set(root[0]).at[1].set(root[3])
+    Py0 = jnp.zeros((N_JOINTS, T), aa_clip.dtype).at[0].set(root[1]).at[1].set(root[4])
+    Pz0 = jnp.zeros((N_JOINTS, T), aa_clip.dtype).at[0].set(root[2]).at[1].set(root[5])
 
-    def step(xyz, inputs):
-        j, b, e, L, aa_bone = inputs
-        p_j = xyz[:, j, :]
-        p_b = xyz[:, b, :]
-        u = p_j - p_b
-        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-        th = jnp.linalg.norm(aa_bone, axis=-1)
-        axis = aa_bone / th[..., None]
-        v = _rodrigues(u, axis, th)
-        p_e = p_j + L * v
-        xyz = jax.lax.dynamic_update_slice(xyz, p_e[:, None, :], (0, e, 0))
-        return xyz, None
+    aax = jnp.swapaxes(aa[..., 0], 0, 1)  # (48, T)
+    aay = jnp.swapaxes(aa[..., 1], 0, 1)
+    aaz = jnp.swapaxes(aa[..., 2], 0, 1)
+    th = jnp.sqrt(aax * aax + aay * aay + aaz * aaz)
+    kx, ky, kz = aax / th, aay / th, aaz / th  # unit axis (48, T)
+    cos_t = jnp.cos(th)
+    sin_t = jnp.sin(th)
+    omc = 1.0 - cos_t
+
+    def step(carry, inputs):
+        Px, Py, Pz = carry
+        j, b, e, L, kxr, kyr, kzr, cr, sr, or_ = inputs  # rows (T,)
+        jx = jax.lax.dynamic_index_in_dim(Px, j, 0, False)
+        jy = jax.lax.dynamic_index_in_dim(Py, j, 0, False)
+        jz = jax.lax.dynamic_index_in_dim(Pz, j, 0, False)
+        ux = jx - jax.lax.dynamic_index_in_dim(Px, b, 0, False)
+        uy = jy - jax.lax.dynamic_index_in_dim(Py, b, 0, False)
+        uz = jz - jax.lax.dynamic_index_in_dim(Pz, b, 0, False)
+        un = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+        ux, uy, uz = ux / un, uy / un, uz / un
+        # Rodrigues by components: v = u cos + (k x u) sin + k (k.u)(1-cos)
+        dot = kxr * ux + kyr * uy + kzr * uz
+        vx = ux * cr + (kyr * uz - kzr * uy) * sr + kxr * dot * or_
+        vy = uy * cr + (kzr * ux - kxr * uz) * sr + kyr * dot * or_
+        vz = uz * cr + (kxr * uy - kyr * ux) * sr + kzr * dot * or_
+        Px = jax.lax.dynamic_update_index_in_dim(Px, jx + L * vx, e, 0)
+        Py = jax.lax.dynamic_update_index_in_dim(Py, jy + L * vy, e, 0)
+        Pz = jax.lax.dynamic_update_index_in_dim(Pz, jz + L * vz, e, 0)
+        return (Px, Py, Pz), None
 
     inputs = (
         _J[1:],
         _B[1:],
         _E[1:],
         bone_len[1:].astype(aa_clip.dtype),
-        jnp.swapaxes(aa, 0, 1),  # (48, T, 3)
+        kx, ky, kz, cos_t, sin_t, omc,
     )
-    xyz, _ = jax.lax.scan(step, xyz0, inputs)
-    return xyz.reshape(T, N_JOINTS * 3)
+    (Px, Py, Pz), _ = jax.lax.scan(step, (Px0, Py0, Pz0), inputs)
+    xyz = jnp.stack([Px, Py, Pz], axis=-1)  # (n, T, 3)
+    return jnp.swapaxes(xyz, 0, 1).reshape(T, N_JOINTS * 3)
 
 
 clip_aa_to_xyz_jit = jax.jit(clip_aa_to_xyz)
