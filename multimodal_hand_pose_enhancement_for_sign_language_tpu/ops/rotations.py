@@ -153,6 +153,90 @@ def rot6d_to_aa_vec(r6d: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# The clip-level converters below are the save_results/process_dataset
+# hot path (every frame of every clip).  They compute on SEPARATE scalar
+# planes flattened to 1-D — the stacked (..., 3, 3) / (..., 4) forms put
+# a 3- or 4-wide axis in the TPU lane dimension (~2-3% lane utilization),
+# which measured 164 ms for a 49K-frame r6d->aa batch; the plane form is
+# the same math at full lane width (same find as the lifting scans,
+# TPU_PROBE.json "conversion_chain").  The stacked mat/quat API above is
+# kept for generic use and as the oracle the plane form is tested against.
+
+
+def _rot6d_to_aa_planes(a0, a1, a2, b0, b1, b2):
+    """Component-plane r6d -> axis-angle: Gram-Schmidt + Shepperd
+    candidates (first-max where-chain == argmax) + atan2 log map."""
+    xn = jnp.sqrt(a0 * a0 + a1 * a1 + a2 * a2) + _GS_EPS
+    x0, x1, x2 = a0 / xn, a1 / xn, a2 / xn
+    z0 = x1 * b2 - x2 * b1
+    z1 = x2 * b0 - x0 * b2
+    z2 = x0 * b1 - x1 * b0
+    zn = jnp.sqrt(z0 * z0 + z1 * z1 + z2 * z2) + _GS_EPS
+    z0, z1, z2 = z0 / zn, z1 / zn, z2 / zn
+    y0 = z1 * x2 - z2 * x1
+    y1 = z2 * x0 - z0 * x2
+    y2 = z0 * x1 - z1 * x0
+    # rotation matrix with columns [x, y, z]
+    m00, m01, m02 = x0, y0, z0
+    m10, m11, m12 = x1, y1, z1
+    m20, m21, m22 = x2, y2, z2
+    tr = m00 + m11 + m22
+    scores = (
+        1.0 + tr,
+        1.0 + m00 - m11 - m22,
+        1.0 - m00 + m11 - m22,
+        1.0 - m00 - m11 + m22,
+    )
+    cands = (
+        (m21 - m12, m02 - m20, m10 - m01, scores[0]),
+        (scores[1], m01 + m10, m02 + m20, m21 - m12),
+        (m01 + m10, scores[2], m12 + m21, m02 - m20),
+        (m02 + m20, m12 + m21, scores[3], m10 - m01),
+    )
+    best_s = scores[0]
+    qx, qy, qz, qw = cands[0]
+    for s, c in zip(scores[1:], cands[1:]):
+        better = s > best_s  # strict: ties keep the earlier == first argmax
+        best_s = jnp.where(better, s, best_s)
+        qx = jnp.where(better, c[0], qx)
+        qy = jnp.where(better, c[1], qy)
+        qz = jnp.where(better, c[2], qz)
+        qw = jnp.where(better, c[3], qw)
+    qn = jnp.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx / qn, qy / qn, qz / qn, qw / qn
+    sign = jnp.where(qw < 0, -1.0, 1.0)
+    qx, qy, qz, qw = qx * sign, qy * sign, qz * sign, qw * sign
+    n = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+    angle = 2.0 * jnp.arctan2(n, qw)
+    small = n < 1e-9
+    scale = jnp.where(small, 2.0, angle / jnp.where(small, 1.0, n))
+    return qx * scale, qy * scale, qz * scale
+
+
+def _aa_to_rot6d_planes(k0, k1, k2):
+    """Component-plane axis-angle -> r6d: the first two Rodrigues columns
+    (R = cos I + sinc K + cosc k k^T) directly, Taylor-guarded."""
+    theta2 = k0 * k0 + k1 * k1 + k2 * k2
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(theta2)
+    sinc = jnp.where(
+        small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta)
+    )
+    cosc = jnp.where(
+        small,
+        0.5 - theta2 / 24.0,
+        (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2),
+    )
+    cos_t = 1.0 - cosc * theta2
+    r00 = cos_t + cosc * k0 * k0
+    r10 = sinc * k2 + cosc * k1 * k0
+    r20 = -sinc * k1 + cosc * k2 * k0
+    r01 = -sinc * k2 + cosc * k0 * k1
+    r11 = cos_t + cosc * k1 * k1
+    r21 = sinc * k0 + cosc * k2 * k1
+    return r00, r10, r20, r01, r11, r21
+
+
 @jax.jit
 def clip_rot6d_to_aa(r6d_clip: jax.Array) -> jax.Array:
     """(T, 6*n) -> (T, 3*n): per-bone rot6d blocks to axis-angle blocks.
@@ -161,9 +245,9 @@ def clip_rot6d_to_aa(r6d_clip: jax.Array) -> jax.Array:
     """
     T, D = r6d_clip.shape
     n = D // 6
-    blocks = r6d_clip.reshape(T, n, 6)
-    aa = rot6d_to_aa_vec(blocks)
-    return aa.reshape(T, n * 3)
+    blocks = r6d_clip.reshape(T * n, 6)
+    aa = _rot6d_to_aa_planes(*(blocks[:, i] for i in range(6)))
+    return jnp.stack(aa, axis=-1).reshape(T, n * 3)
 
 
 @jax.jit
@@ -171,9 +255,9 @@ def clip_aa_to_rot6d(aa_clip: jax.Array) -> jax.Array:
     """(T, 3*n) -> (T, 6*n). Replaces conversion_utils.py:72-81."""
     T, D = aa_clip.shape
     n = D // 3
-    blocks = aa_clip.reshape(T, n, 3)
-    r6d = aa_to_mat_rot6d(blocks)
-    return r6d.reshape(T, n * 6)
+    blocks = aa_clip.reshape(T * n, 3)
+    r6d = _aa_to_rot6d_planes(*(blocks[:, i] for i in range(3)))
+    return jnp.stack(r6d, axis=-1).reshape(T, n * 6)
 
 
 def _as_clip_list(x):

@@ -88,6 +88,31 @@ def test_clip_level_conversions_roundtrip(rng):
     np.testing.assert_allclose(back, aa_clip, atol=2e-4)
 
 
+def test_plane_forms_match_stacked_oracle(rng):
+    """The lane-friendly component-plane clip converters must equal the
+    generic stacked mat/quat path (which is itself scipy-parity-tested),
+    including degenerate near-zero and near-pi rotations."""
+    import jax.numpy as jnp
+
+    T, n = 9, 48
+    aa = _random_rotvecs(rng, n=T * n).astype(np.float32)
+    aa[0] = 0.0  # exact zero rotation
+    aa[1] = aa[1] / np.linalg.norm(aa[1]) * (np.pi - 1e-5)  # near pi
+    aa_clip = aa.reshape(T, n * 3)
+
+    r6d_plane = np.asarray(rot.clip_aa_to_rot6d(aa_clip))
+    r6d_oracle = np.asarray(
+        rot.aa_to_mat_rot6d(jnp.asarray(aa_clip.reshape(T, n, 3)))
+    ).reshape(T, n * 6)
+    np.testing.assert_allclose(r6d_plane, r6d_oracle, atol=1e-6)
+
+    aa_plane = np.asarray(rot.clip_rot6d_to_aa(r6d_plane))
+    aa_oracle = np.asarray(
+        rot.rot6d_to_aa_vec(jnp.asarray(r6d_plane.reshape(T, n, 6)))
+    ).reshape(T, n * 3)
+    np.testing.assert_allclose(aa_plane, aa_oracle, atol=1e-5)
+
+
 def test_list_api_matches_clip_api(rng):
     clips = [
         _random_rotvecs(rng, n=5 * 48).reshape(5, 144).astype(np.float32),
