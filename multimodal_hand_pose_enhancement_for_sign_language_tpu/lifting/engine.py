@@ -84,7 +84,8 @@ def _interleave(Yx, Yy, Yz, dtype):
     return out
 
 
-def _lift_batch(kps, masks, noises, n_cycles: int, filter_impl: str):
+def _lift_batch(kps, masks, noises, n_cycles: int, filter_impl: str,
+                matpow_precision: str = "float32"):
     x0, y0, z0, Xx, Xy, Xw = jax.vmap(_init_core)(kps, masks, noises)
     if filter_impl == "pallas":
         from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
@@ -96,25 +97,32 @@ def _lift_batch(kps, masks, noises, n_cycles: int, filter_impl: str):
         )
     elif filter_impl == "matpow":
         # 900 sequential VPU cycles as ~12 batched MXU matmuls (the
-        # affine closed form); precision per MHPE_MATPOW_PRECISION.
+        # affine closed form; measured slower than the Pallas kernel —
+        # see filter_xyz_matpow's docstring)
         Yx, Yy, Yz = filtering.filter_xyz_matpow(
             x0, y0, z0, Xx, Xy, Xw, masks,
             learning_rate=_LR, n_cycles=n_cycles,
-            precision=os.environ.get("MHPE_MATPOW_PRECISION", "float32"),
+            precision=matpow_precision,
         )
-    else:  # "xla": the vmapped fori_loop
+    elif filter_impl == "xla":  # the vmapped fori_loop
         Yx, Yy, Yz = jax.vmap(
             lambda a, b, c, tx, ty, w, m: filtering.filter_xyz(
                 a, b, c, tx, ty, w, learning_rate=_LR, n_cycles=n_cycles, mask=m
             )
         )(x0, y0, z0, Xx, Xy, Xw, masks)
+    else:
+        raise ValueError(
+            f"unknown filter_impl {filter_impl!r}; expected 'pallas', "
+            "'xla' or 'matpow'"
+        )
     return _interleave(Yx, Yy, Yz, kps.dtype)
 
 
 _BATCHED_CACHE: dict = {}
 
 
-def _lift_batch_sharded(kps, masks, noises, n_cycles, filter_impl, mesh):
+def _lift_batch_sharded(kps, masks, noises, n_cycles, filter_impl, mesh,
+                        matpow_precision="float32"):
     """Clip-batch data parallelism: shard_map over the mesh 'data' axis —
     the multi-chip replacement for the reference's Pool(24)-over-clips."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -124,7 +132,8 @@ def _lift_batch_sharded(kps, masks, noises, n_cycles, filter_impl, mesh):
     )
 
     fn = shard_map(
-        partial(_lift_batch, n_cycles=n_cycles, filter_impl=filter_impl),
+        partial(_lift_batch, n_cycles=n_cycles, filter_impl=filter_impl,
+                matpow_precision=matpow_precision),
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=P("data"),
@@ -152,14 +161,23 @@ def filter_impl_default() -> str:
     """'pallas' | 'xla' | 'matpow'.  MHPE_LIFT_FILTER overrides; else the
     Pallas kernel on real TPUs, the XLA loop elsewhere."""
     env = os.environ.get("MHPE_LIFT_FILTER")
-    if env in ("pallas", "xla", "matpow"):
+    if env is not None:
+        if env not in ("pallas", "xla", "matpow"):
+            raise ValueError(
+                f"MHPE_LIFT_FILTER={env!r}: expected 'pallas', 'xla' or "
+                "'matpow'"
+            )
         return env
     return "pallas" if use_pallas_default() else "xla"
 
 
 def _get_batched(n_cycles: int, filter_impl: str, mesh=None):
+    # The env var is resolved HERE so it participates in the cache key —
+    # reading it at trace time would silently reuse a program compiled
+    # under a previous value.
+    matpow_precision = os.environ.get("MHPE_MATPOW_PRECISION", "float32")
     # Mesh is hashable: equal meshes share one compiled program
-    key = (n_cycles, filter_impl, mesh)
+    key = (n_cycles, filter_impl, mesh, matpow_precision)
     if key not in _BATCHED_CACHE:
         if mesh is not None and mesh.devices.size > 1:
             _BATCHED_CACHE[key] = jax.jit(
@@ -168,11 +186,17 @@ def _get_batched(n_cycles: int, filter_impl: str, mesh=None):
                     n_cycles=n_cycles,
                     filter_impl=filter_impl,
                     mesh=mesh,
+                    matpow_precision=matpow_precision,
                 )
             )
         else:
             _BATCHED_CACHE[key] = jax.jit(
-                partial(_lift_batch, n_cycles=n_cycles, filter_impl=filter_impl)
+                partial(
+                    _lift_batch,
+                    n_cycles=n_cycles,
+                    filter_impl=filter_impl,
+                    matpow_precision=matpow_precision,
+                )
             )
     return _BATCHED_CACHE[key]
 

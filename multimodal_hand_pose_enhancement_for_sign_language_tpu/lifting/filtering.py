@@ -180,6 +180,8 @@ def filter_xyz_matpow(
     and the engine's batch sizes this is O(1) GB; prefer the Pallas
     kernel for very long clips (the sequence-parallel path covers 1920).
     """
+    if n_cycles <= 0:  # no-filter baseline: match the fori_loop backends
+        return x0, y0, z0
     B, T, Jn = x0.shape
     dtype = x0.dtype
     t_real = jnp.sum(mask, axis=1)  # (B,)

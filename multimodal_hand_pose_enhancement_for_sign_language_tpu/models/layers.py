@@ -49,7 +49,18 @@ _precision_overrides = threading.local()
 @contextmanager
 def matmul_precision_overrides(overrides):
     """Trace-time per-layer matmul precision, keyed by flax module-path
-    substring.  `None` values mean "inherit the ambient context"."""
+    components.  `None` values mean "inherit the ambient context".
+
+    Keys match whole path components: "decoder/Conv1d_0" matches the
+    decoder's first conv and nothing else; "Conv1d_1" does NOT match
+    "Conv1d_10".  The longest matching key wins.
+
+    CACHING CAVEAT: unlike ``jax.default_matmul_precision`` this context
+    is NOT part of jit's cache key — a function traced outside (or under
+    different overrides) will be silently reused from the compiled
+    cache.  Create a fresh jitted closure per override set, the way
+    ``tpu_precision_sweep.py`` does; this is a measurement/experiment
+    knob, not ambient configuration."""
     prev = getattr(_precision_overrides, "value", None)
     _precision_overrides.value = dict(overrides)
     try:
@@ -62,10 +73,10 @@ def _resolve_precision(path) -> Optional[Any]:
     overrides = getattr(_precision_overrides, "value", None)
     if not overrides:
         return None
-    joined = "/".join(str(p) for p in path)
+    joined = "/" + "/".join(str(p) for p in path) + "/"
     best, best_len = None, -1
     for key, val in overrides.items():
-        if key in joined and len(key) > best_len:
+        if "/" + key.strip("/") + "/" in joined and len(key) > best_len:
             best, best_len = val, len(key)
     return None if best is None else jax.lax.Precision(best)
 

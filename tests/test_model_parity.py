@@ -237,6 +237,8 @@ def test_matmul_precision_overrides(rng):
             == jax.lax.Precision.HIGH
         )
         assert layers._resolve_precision(("decoder", "BatchNorm_0")) is None
+        # whole-component matching: "Conv1d_0" must not match "Conv1d_01"
+        assert layers._resolve_precision(("conv5", "Conv1d_01")) is None
     assert layers._resolve_precision(("conv5", "Conv1d_0")) is None  # restored
 
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)

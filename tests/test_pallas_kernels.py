@@ -46,6 +46,18 @@ def test_filter_sgd_matches_pure_jax(rng):
         np.testing.assert_allclose(np.asarray(pz)[b], np.asarray(jz), atol=2e-4)
 
 
+def test_filter_matpow_zero_cycles_is_identity(rng):
+    """n_cycles=0 (a no-filter baseline) returns the inputs unchanged,
+    matching the fori_loop backends."""
+    x0, y0, z0, tarx, tary, w, mask = _filter_inputs(rng)
+    outs = filtering.filter_xyz_matpow(
+        *(jnp.asarray(a) for a in (x0, y0, z0, tarx, tary, w)),
+        jnp.asarray(mask), learning_rate=20.0, n_cycles=0,
+    )
+    for a, b in zip(outs, (x0, y0, z0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
 @pytest.mark.parametrize("n_cycles", [1, 2, 57, 900])
 def test_filter_matpow_matches_iterative(rng, n_cycles):
     """The affine square-and-multiply closed form (filter_xyz_matpow, ~12

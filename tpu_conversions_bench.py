@@ -30,7 +30,6 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (  # noqa
 
 OUT = "TPU_PROBE.json"
 B, T = 256, 192
-N_R6D = 49 * 6  # full-skeleton r6d width (arms+hands concatenated)
 K1, K2 = 4, 16
 
 
