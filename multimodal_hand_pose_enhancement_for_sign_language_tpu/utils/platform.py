@@ -27,15 +27,37 @@ def ensure_platform_from_env() -> None:
         jax.config.update("jax_platforms", env)
 
 
+def host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set.  XLA:CPU AOT artifacts
+    are machine-specific — loading an entry compiled on a different CPU
+    generation emits 'machine type ... doesn't match' errors and risks
+    SIGILL/garbage — so cache directories are keyed by this."""
+    import hashlib
+    import platform as plat
+
+    txt = plat.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:10]
+
+
 def enable_persistent_compile_cache() -> None:
-    """Point XLA's persistent compilation cache at a stable directory so
-    repeat CLI runs skip recompiles (TPU compiles through the tunnel take
-    minutes for the big training programs).  Opt out with
-    MHPE_COMPILE_CACHE=0; JAX_COMPILATION_CACHE_DIR still wins if set."""
+    """Point XLA's persistent compilation cache at a stable,
+    host-fingerprinted directory so repeat CLI runs skip recompiles (TPU
+    compiles through the tunnel take minutes for the big training
+    programs) without ever loading another machine's AOT artifacts.  Opt
+    out with MHPE_COMPILE_CACHE=0; JAX_COMPILATION_CACHE_DIR still wins
+    if set."""
     if os.environ.get("MHPE_COMPILE_CACHE", "1") == "0":
         return
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser(
-        "~/.cache/mhpe_jax_compile"
+        "~/.cache/mhpe_jax_compile/" + host_fingerprint()
     )
     import jax
 

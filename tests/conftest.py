@@ -4,9 +4,21 @@ Must set XLA flags before jax is imported anywhere in the test process.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.platform import (  # noqa: E501
+    host_fingerprint,
+)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# Host-fingerprinted: XLA:CPU AOT cache entries are machine-specific and a
+# /tmp image that survives a host-generation change would otherwise feed
+# foreign artifacts back ('machine type ... doesn't match' errors).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache-" + host_fingerprint()
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -27,9 +27,13 @@ import convergence_compare  # noqa: E402
 @pytest.mark.slow
 def test_training_converges_like_torch_reference():
     res = convergence_compare.compare(epochs=12, n=64, batch_size=16, lr=1e-3)
-    # both frameworks learn (loss decreases) ...
-    assert res["jax_train"][-1] < res["jax_train"][0]
-    assert res["torch_train"][-1] < res["torch_train"][0]
+    # both frameworks learn: VAL loss (pure reconstruction) must decrease.
+    # The G train loss includes the adversarial MSE term, which legitimately
+    # GROWS as D improves on its every-3rd-epoch schedule — both torch and
+    # jax train losses drift up together at this scale, so train loss is
+    # asserted only through the trajectory band below, not monotonicity.
+    assert res["jax_val"][-1] < res["jax_val"][0]
+    assert res["torch_val"][-1] < res["torch_val"][0]
     # ... along statistically matching trajectories
     assert res["final_val_rel_diff"] < 0.05, res
     assert res["train_traj_corr"] > 0.95, res
