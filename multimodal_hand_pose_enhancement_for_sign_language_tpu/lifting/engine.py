@@ -18,7 +18,7 @@ partition.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -204,7 +204,13 @@ def _get_batched(n_cycles: int, filter_impl: str, mesh=None):
 def _clip_noise(T: int, sigma: float = _NOISE_SIGMA) -> np.ndarray:
     """The reference's per-clip noise: RandomState(1234) drawing T uniforms
     for rootsx, then rootsy, then rootsz (utils/utils.py:46, addNoise at
-    pose2Dto3D.py:85-87)."""
+    pose2Dto3D.py:85-87).  Depends only on the clip LENGTH, so draws are
+    cached per T (a 31K-clip run otherwise spins up 31K RandomStates)."""
+    return _clip_noise_cached(T, sigma).copy()
+
+
+@lru_cache(maxsize=4096)
+def _clip_noise_cached(T: int, sigma: float) -> np.ndarray:
     rng = np.random.RandomState(1234)
     return np.stack(
         [

@@ -105,12 +105,40 @@ def filter_sgd(
         interpret = not _on_tpu()
     B, T, _ = x0.shape
     t_pad = max(128, -(-T // 128) * 128)
+    # XLA stack-allocates each pallas call's output tuple in scoped VMEM
+    # (observed: programs whose 3-output tuple exceeds ~20 MB fail
+    # compile with 'exceeded scoped vmem limit' regardless of the
+    # kernel's own budget), so large batches are split across several
+    # pallas calls with bounded outputs inside the same jit.
+    seg = max(1, (20 * 1024 * 1024) // (J * t_pad * 12))
+    if seg >= chunk:
+        seg = (seg // chunk) * chunk
+    if B > seg:
+        parts = [
+            filter_sgd(
+                x0[i : i + seg], y0[i : i + seg], z0[i : i + seg],
+                tarx[i : i + seg], tary[i : i + seg], w[i : i + seg],
+                mask[i : i + seg], learning_rate, n_cycles,
+                chunk=chunk, interpret=interpret,
+            )
+            for i in range(0, B, seg)
+        ]
+        return tuple(
+            jnp.concatenate([p[k] for p in parts]) for k in range(3)
+        )
     # Rows pack DENSELY as clip-major (B*J, T): nothing in the kernel
     # indexes by clip (all row-wise elementwise with per-row coefficient
     # tiles; rolls ride the lanes), so no per-clip sublane alignment is
     # needed — padding J 50->56 would waste 12% of all VPU work.  Block
     # row counts stay sublane-aligned because chunk*J % 8 == 0 for the
     # chunk sizes used (chunk % 4 == 0).
+    #
+    # The chunk scales inversely with t_pad so block_bytes stays in the
+    # ~1.6 MB regime the VMEM budget below is calibrated for (long-clip
+    # buckets otherwise push Mosaic's scoped-vmem request past what the
+    # compiler will grant).  Throughput is flat in chunk (32/64/128
+    # sweep), so this costs nothing.
+    chunk = max(4, (chunk * 128 // t_pad) // 4 * 4)
     if chunk % 4:
         chunk = -(-chunk // 4) * 4
     n_chunks = -(-B // chunk)
@@ -145,12 +173,16 @@ def filter_sgd(
     spec = pl.BlockSpec((rows, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((b_pad * J, t_pad), x0.dtype)] * 3
 
-    # 7 in + 3 out pipelined blocks, double-buffered, + the 3-tuple loop
-    # carry: budget VMEM explicitly so chunk can exceed the compiler's
-    # default ~16 MB scoped limit (the occupancy lever — throughput
-    # scales with clips resident per kernel instance, STATUS roofline).
+    # Budget VMEM explicitly so the pipeline can exceed the compiler's
+    # default ~16 MB scoped limit.  The multiplier is empirically
+    # calibrated (on-chip sweep at t_pad 128 and 256): the enforced cap
+    # is the request minus a ~2 MB reserve while Mosaic plans close to
+    # the request, so a tight request (x28 blocks) fails by under a
+    # block; x36 leaves the reserve-sized slack at every bucket shape.
+    # The output tuple also lands in scoped vmem, hence the >20 MB
+    # batch segmentation above.
     block_bytes = rows * t_pad * 4
-    vmem_limit = min(int(block_bytes * 23 * 1.25), 110 * 1024 * 1024)
+    vmem_limit = min(block_bytes * 36 + (2 << 20), 100 * 1024 * 1024)
     kernel = functools.partial(_filter_kernel, n_cycles)
     xo, yo, zo = pl.pallas_call(
         kernel,

@@ -103,12 +103,23 @@ def main(n_clips=N_CLIPS):
     warm_s = time.perf_counter() - t0
 
     tf_fps = tf_filter_baseline()
+    # honest accounting: through the axon dev tunnel this run is
+    # host<->device BANDWIDTH bound (~10 GB of padded keypoints up +
+    # results down at ~15 MB/s), not compute bound — the device-resident
+    # rate is 1.38M frames/s (TPU_PROBE.json "lift_pipeline_split"), i.e.
+    # ~3.3 s of device time for this dataset on a normally-attached TPU.
+    approx_io_gb = round(
+        2 * sum(-(-c.shape[0] // 64) * 64 * 150 * 4 for c in clips) / 1e9, 1
+    )
     res = {
         "n_clips": n_clips,
         "total_frames": total_frames,
         "cold_wall_s": round(cold_s, 1),
         "warm_wall_s": round(warm_s, 1),
         "frames_per_s_warm": round(total_frames / warm_s),
+        "approx_tunnel_io_gb": approx_io_gb,
+        "device_compute_s_at_resident_rate": round(total_frames / 1.38e6, 1),
+        "bound_by": "axon tunnel host<->device bandwidth, not device compute",
         "tf_baseline_frames_per_s_1proc": round(tf_fps, 1),
         "tf_baseline_est_hours_pool24": round(
             total_frames / (tf_fps * 24) / 3600, 2
