@@ -43,6 +43,54 @@ def main():
     diff = float(np.abs(a - b).max())
     check("pallas_filter_vs_xla", diff < 1e-4, f"max diff {diff:.2e}")
 
+    # 1b. segmented-filter path (output tuple > 20 MB forces the batch
+    # split across pallas calls) agrees with the XLA loop on IDENTICAL
+    # filter inputs.  (Comparing through the full lift pipeline instead
+    # would mix in compute_b's discrete hypothesis ties, which amplify
+    # program-fusion-level f32 noise into ~1e-4 coordinate flips.)
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import (
+        filtering,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+        pallas_kernels,
+    )
+
+    Bf, Tf = 400, 40  # outputs 3 x 400*50*128*4 = 30.7 MB -> segments
+    fx = [jnp.asarray(rng.randn(Bf, Tf, 50).astype(np.float32))
+          for _ in range(5)]
+    fw = jnp.asarray(rng.rand(Bf, Tf, 50).astype(np.float32))
+    fm = jnp.ones((Bf, Tf), jnp.float32)
+    px, py, pz = pallas_kernels.filter_sgd(*fx, fw, fm, 20.0, 20)
+    jx, jy, jz = jax.vmap(
+        lambda a, b, c, tx, ty, w, m: filtering.filter_xyz(
+            a, b, c, tx, ty, w, learning_rate=20.0, n_cycles=20, mask=m
+        )
+    )(*fx, fw, fm)
+    diff = max(
+        float(jnp.abs(p - j).max())
+        for p, j in ((px, jx), (py, jy), (pz, jz))
+    )
+    check("pallas_filter_segmented", diff < 1e-4, f"max diff {diff:.2e}")
+
+    # 1c. plane-form r6d<->aa converters vs the stacked oracle, compiled
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.ops import (
+        rotations,
+    )
+
+    aa_clip = (0.3 * rng.randn(16, 48 * 3)).astype(np.float32)
+    r6d_plane = np.asarray(rotations.clip_aa_to_rot6d(jnp.asarray(aa_clip)))
+    r6d_oracle = np.asarray(
+        rotations.aa_to_mat_rot6d(jnp.asarray(aa_clip.reshape(16, 48, 3)))
+    ).reshape(16, 48 * 6)
+    d1 = float(np.abs(r6d_plane - r6d_oracle).max())
+    aa_plane = np.asarray(rotations.clip_rot6d_to_aa(jnp.asarray(r6d_plane)))
+    aa_oracle = np.asarray(
+        rotations.rot6d_to_aa_vec(jnp.asarray(r6d_plane.reshape(16, 48, 6)))
+    ).reshape(16, 48 * 3)
+    d2 = float(np.abs(aa_plane - aa_oracle).max())
+    check("plane_conversions_vs_stacked", max(d1, d2) < 1e-4,
+          f"r6d {d1:.2e} aa {d2:.2e}")
+
     # 2. fused robust loss vs jnp path in the trainer
     from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.gan import (
         GanConfig,
