@@ -52,6 +52,7 @@ def main(args):
         num_classes=10,
         bidirectional=args.bidir,
         dropout=args.dropout,
+        remat=args.remat,
     )
     trainer = ClassifierTrainer(
         module,
@@ -119,6 +120,9 @@ def build_parser():
     parser.add_argument('--weight_decay', type=float, default=1e-3)
     parser.add_argument('--dropout', type=float, default=0.1)
     parser.add_argument('--optimizer', type=str, default="Adam", help='Adam | AdamW | NAdam')
+    parser.add_argument('--remat', action="store_true",
+                        help='rematerialize LSTM layers in backward '
+                             '(fits large batches in HBM; exact)')
     parser.add_argument('--log_step', type=int, default=2)
     parser.add_argument('--use_wandb', action="store_true")
     return parser

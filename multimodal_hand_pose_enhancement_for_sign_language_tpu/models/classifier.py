@@ -39,6 +39,11 @@ class ClassifLSTM(nn.Module):
     num_classes: int = 10
     bidirectional: bool = True
     dropout: float = 0.0
+    # Rematerialize each LSTM layer in the backward pass (jax.checkpoint)
+    # instead of saving all (B, T, 8H) activations: the 10-layer bidir
+    # default saves ~27 GB at B=128 x T=192 (HBM OOM on a 16 GB chip);
+    # with remat the same step fits and recompute rides the MXU.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, seq, train: bool = False):
@@ -67,7 +72,8 @@ class ClassifLSTM(nn.Module):
                     bias_init=init,
                     name=f"{name}_cell",
                 )
-                rnn = nn.RNN(cell, reverse=reverse, keep_order=True, name=name)
+                rnn_cls = nn.remat(nn.RNN) if self.remat else nn.RNN
+                rnn = rnn_cls(cell, reverse=reverse, keep_order=True, name=name)
                 return rnn(inp)
 
             fwd = run(f"lstm{layer}_f", False)

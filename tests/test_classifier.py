@@ -258,3 +258,23 @@ def test_sentence_classifier_parity_with_ported_weights(rng):
     )
     ours = np.asarray(SentenceClassifier().apply(variables, x, False))
     np.testing.assert_allclose(ours, ref_y, atol=1e-6)
+
+
+def test_remat_is_exact(rng):
+    """remat=True must not change the params tree, outputs, or grads —
+    it only trades backward-pass memory for recompute."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    x = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
+    m1 = ClassifLSTM(hidden_size=16, num_layers=2, bidirectional=True)
+    m2 = ClassifLSTM(hidden_size=16, num_layers=2, bidirectional=True,
+                     remat=True)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x, False)
+    y1 = m1.apply(v, x, False)
+    y2 = m2.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    g1 = jax.grad(lambda p: m1.apply({"params": p}, x, False).sum())(v["params"])
+    g2 = jax.grad(lambda p: m2.apply({"params": p}, x, False).sum())(v["params"])
+    for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
