@@ -105,14 +105,23 @@ def filter_sgd(
         interpret = not _on_tpu()
     B, T, _ = x0.shape
     t_pad = max(128, -(-T // 128) * 128)
+    # The chunk scales inversely with t_pad so block_bytes stays in the
+    # ~1.6 MB regime the VMEM budget below is calibrated for (long-clip
+    # buckets otherwise push Mosaic's scoped-vmem request past what the
+    # compiler will grant).  Throughput is flat in chunk (32/64/128
+    # sweep), so this costs nothing.  The rescale keeps chunk a positive
+    # multiple of 4, which keeps block row counts sublane-aligned
+    # (chunk * J % 8 == 0).
+    chunk = max(4, (chunk * 128 // t_pad) // 4 * 4)
     # XLA stack-allocates each pallas call's output tuple in scoped VMEM
     # (observed: programs whose 3-output tuple exceeds ~20 MB fail
     # compile with 'exceeded scoped vmem limit' regardless of the
     # kernel's own budget), so large batches are split across several
-    # pallas calls with bounded outputs inside the same jit.
-    seg = max(1, (20 * 1024 * 1024) // (J * t_pad * 12))
-    if seg >= chunk:
-        seg = (seg // chunk) * chunk
+    # pallas calls with bounded outputs inside the same jit.  The budget
+    # is applied to the PADDED per-call batch: seg is a multiple of
+    # chunk, so b_pad == seg inside each full segment.
+    seg = (20 * 1024 * 1024) // (J * t_pad * 12)
+    seg = max(chunk, (seg // chunk) * chunk)
     if B > seg:
         parts = [
             filter_sgd(
@@ -129,18 +138,7 @@ def filter_sgd(
     # Rows pack DENSELY as clip-major (B*J, T): nothing in the kernel
     # indexes by clip (all row-wise elementwise with per-row coefficient
     # tiles; rolls ride the lanes), so no per-clip sublane alignment is
-    # needed — padding J 50->56 would waste 12% of all VPU work.  Block
-    # row counts stay sublane-aligned because chunk*J % 8 == 0 for the
-    # chunk sizes used (chunk % 4 == 0).
-    #
-    # The chunk scales inversely with t_pad so block_bytes stays in the
-    # ~1.6 MB regime the VMEM budget below is calibrated for (long-clip
-    # buckets otherwise push Mosaic's scoped-vmem request past what the
-    # compiler will grant).  Throughput is flat in chunk (32/64/128
-    # sweep), so this costs nothing.
-    chunk = max(4, (chunk * 128 // t_pad) // 4 * 4)
-    if chunk % 4:
-        chunk = -(-chunk // 4) * 4
+    # needed — padding J 50->56 would waste 12% of all VPU work.
     n_chunks = -(-B // chunk)
     b_pad = n_chunks * chunk
 

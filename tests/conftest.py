@@ -8,17 +8,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.platform import (  # noqa: E501
-    host_fingerprint,
-)
-
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# Host-fingerprinted: XLA:CPU AOT cache entries are machine-specific and a
-# /tmp image that survives a host-generation change would otherwise feed
-# foreign artifacts back ('machine type ... doesn't match' errors).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache-" + host_fingerprint()
-)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -26,6 +16,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Host-fingerprinted: XLA:CPU AOT cache entries are machine-specific and a
+# /tmp image that survives a host-generation change would otherwise feed
+# foreign artifacts back ('machine type ... doesn't match' errors).
+# utils.platform imports no jax at module level, so this import is safe
+# AFTER the env setup above (which must precede any jax import).
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.platform import (  # noqa: E402,E501
+    host_fingerprint,
+)
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache-" + host_fingerprint()
+)
 
 import jax  # noqa: E402
 
