@@ -39,6 +39,9 @@ _PRUNE_THRESHOLD = 0.3
 _NOISE_SIGMA = 0.001
 _LR = 20.0
 _N_CYCLES = 900
+# Longest T-bucket the matpow backend accepts before its (B, J, T, T)
+# power-chain operands become a memory hazard (256: ~0.8 GB at B=64).
+MATPOW_MAX_T = 256
 
 
 def _init_core(kp, mask, noise):
@@ -99,6 +102,17 @@ def _lift_batch(kps, masks, noises, n_cycles: int, filter_impl: str,
         # 900 sequential VPU cycles as ~12 batched MXU matmuls (the
         # affine closed form; measured slower than the Pallas kernel —
         # see filter_xyz_matpow's docstring)
+        T = x0.shape[1]
+        if T > MATPOW_MAX_T:
+            # (B, J, T, T) f32 materializes B*50*T^2*4 bytes per power-
+            # chain operand: the engine's long-clip buckets (T up to
+            # 1920) would request tens of GB and OOM the chip.
+            raise ValueError(
+                f"filter_impl='matpow' materializes a (B, 50, {T}, {T}) "
+                f"operator; T={T} exceeds the supported bound "
+                f"{MATPOW_MAX_T}.  Use filter_impl='pallas' (TPU) or "
+                "'xla' for long-clip buckets."
+            )
         Yx, Yy, Yz = filtering.filter_xyz_matpow(
             x0, y0, z0, Xx, Xy, Xw, masks,
             learning_rate=_LR, n_cycles=n_cycles,

@@ -53,7 +53,12 @@ def matmul_precision_overrides(overrides):
 
     Keys match whole path components: "decoder/Conv1d_0" matches the
     decoder's first conv and nothing else; "Conv1d_1" does NOT match
-    "Conv1d_10".  The longest matching key wins.
+    "Conv1d_10".  The longest matching key wins (length measured after
+    stripping decorative slashes, so "/Conv1d_0/" and "Conv1d_0" are
+    equally specific).  A winning key mapped to None SHADOWS shorter
+    matches: {"decoder": "float32", "decoder/Conv1d_0": None} runs
+    Conv1d_0 at the ambient precision, not float32 — the explicit way to
+    exempt one layer from a broader override.
 
     CACHING CAVEAT: unlike ``jax.default_matmul_precision`` this context
     is NOT part of jit's cache key — a function traced outside (or under
@@ -76,8 +81,11 @@ def _resolve_precision(path) -> Optional[Any]:
     joined = "/" + "/".join(str(p) for p in path) + "/"
     best, best_len = None, -1
     for key, val in overrides.items():
-        if "/" + key.strip("/") + "/" in joined and len(key) > best_len:
-            best, best_len = val, len(key)
+        # specificity = stripped length, so decorative slashes in the
+        # key ('/Conv1d_0/') don't outrank equally-specific bare keys
+        stripped = key.strip("/")
+        if "/" + stripped + "/" in joined and len(stripped) > best_len:
+            best, best_len = val, len(stripped)
     return None if best is None else jax.lax.Precision(best)
 
 

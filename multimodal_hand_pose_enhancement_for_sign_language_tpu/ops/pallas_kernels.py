@@ -113,6 +113,24 @@ def filter_sgd(
     # multiple of 4, which keeps block row counts sublane-aligned
     # (chunk * J % 8 == 0).
     chunk = max(4, (chunk * 128 // t_pad) // 4 * 4)
+    return _filter_sgd_scaled(
+        x0, y0, z0, tarx, tary, w, mask, learning_rate, n_cycles,
+        chunk, interpret,
+    )
+
+
+def _filter_sgd_scaled(
+    x0, y0, z0, tarx, tary, w, mask, learning_rate, n_cycles,
+    chunk, interpret,
+):
+    """Inner path: `chunk` is final (already t_pad-rescaled exactly once).
+
+    Split out so batch segmentation below does not re-apply the rescale
+    (which would silently shrink the calibrated block size for long-clip
+    buckets on every recursion level).
+    """
+    B, T, _ = x0.shape
+    t_pad = max(128, -(-T // 128) * 128)
     # XLA stack-allocates each pallas call's output tuple in scoped VMEM
     # (observed: programs whose 3-output tuple exceeds ~20 MB fail
     # compile with 'exceeded scoped vmem limit' regardless of the
@@ -124,11 +142,11 @@ def filter_sgd(
     seg = max(chunk, (seg // chunk) * chunk)
     if B > seg:
         parts = [
-            filter_sgd(
+            _filter_sgd_scaled(
                 x0[i : i + seg], y0[i : i + seg], z0[i : i + seg],
                 tarx[i : i + seg], tary[i : i + seg], w[i : i + seg],
                 mask[i : i + seg], learning_rate, n_cycles,
-                chunk=chunk, interpret=interpret,
+                chunk, interpret,
             )
             for i in range(0, B, seg)
         ]

@@ -17,30 +17,58 @@ import jax
 import numpy as np
 
 
-def _to_numpy(tree):
+class _KeyData:
+    """Pickled stand-in for a typed PRNG key: raw key data + the impl
+    name, so the round-trip is unambiguous (rbg vs unsafe_rbg share a
+    (4,) data shape).  Opaque to jax.tree.map (not a registered pytree);
+    only ensure_key() unwraps it."""
+
+    __slots__ = ("data", "impl")
+
+    def __init__(self, data, impl):
+        self.data = data
+        self.impl = impl
+
+
+def _to_numpy(tree, keys_as: str = "tagged"):
     def conv(x):
         if hasattr(x, "dtype") and jax.dtypes.issubdtype(
             x.dtype, jax.dtypes.prng_key
         ):
-            # typed PRNG keys serialize as raw key data; ensure_key()
-            # rewraps on resume (impl recoverable from the data shape:
-            # threefry2x32 -> (2,), rbg -> (4,))
-            return np.asarray(jax.random.key_data(x))
+            data = np.asarray(jax.random.key_data(x))
+            if keys_as == "tagged":
+                return _KeyData(data, str(jax.random.key_impl(x)))
+            # orbax can only store arrays: raw key data; ensure_key()
+            # falls back to the shape heuristic on resume
+            return data
         return np.asarray(x)
 
     return jax.tree.map(conv, tree)
 
 
 def ensure_key(x):
-    """Rewrap a checkpointed PRNG key: raw uint32 key data (or a legacy
-    raw key from an old checkpoint) -> typed key.  Typed keys pass
-    through unchanged."""
-    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
-        return x
+    """Rewrap a checkpointed PRNG key -> typed key.  Accepts a tagged
+    _KeyData (pickle checkpoints, exact impl), raw uint32 key data
+    (orbax / legacy checkpoints, impl inferred from the trailing shape:
+    threefry2x32 -> (2,), rbg -> (4,)), or an already-typed key (passes
+    through unchanged)."""
     import jax.numpy as jnp
 
+    if isinstance(x, _KeyData):
+        return jax.random.wrap_key_data(jnp.asarray(x.data), impl=x.impl)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        return x
+
     data = jnp.asarray(x)
-    impl = {2: "threefry2x32", 4: "rbg"}[data.shape[-1]]
+    shape = data.shape[-1] if data.ndim else None
+    impl = {2: "threefry2x32", 4: "rbg"}.get(shape)
+    if impl is None:
+        raise ValueError(
+            "ensure_key: unrecognized PRNG key data with shape "
+            f"{data.shape} (dtype {data.dtype}); expected a typed key, "
+            "tagged key data, or raw uint32 data with trailing dim 2 "
+            "(threefry2x32) or 4 (rbg)."
+        )
     return jax.random.wrap_key_data(data, impl=impl)
 
 
@@ -52,7 +80,11 @@ def save_checkpoint(path: str, payload: dict, backend: str = "pickle") -> None:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path) + ".orbax", _to_numpy(payload), force=True)
+        ckptr.save(
+            os.path.abspath(path) + ".orbax",
+            _to_numpy(payload, keys_as="raw"),
+            force=True,
+        )
         ckptr.wait_until_finished()
         return
     with open(path, "wb") as f:

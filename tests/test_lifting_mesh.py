@@ -36,3 +36,16 @@ def test_matpow_filter_impl_matches_xla(rng):
     mp = engine.lift_clips(clips, n_cycles=15, filter_impl="matpow")
     for a, b in zip(xla, mp):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_matpow_long_clip_guard(rng):
+    """matpow materializes (B, J, T, T): long-clip buckets must be
+    rejected loudly instead of OOMing the chip (ADVICE r2)."""
+    import pytest
+
+    kp = rng.uniform(100, 500, size=(engine.MATPOW_MAX_T + 64, 150)).astype(
+        np.float32
+    )
+    kp[:, 2::3] = rng.uniform(0.5, 1.0, size=(kp.shape[0], 50))
+    with pytest.raises(ValueError, match="matpow"):
+        engine.lift_clips([kp], n_cycles=2, filter_impl="matpow")

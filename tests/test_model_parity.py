@@ -241,6 +241,26 @@ def test_matmul_precision_overrides(rng):
         assert layers._resolve_precision(("conv5", "Conv1d_01")) is None
     assert layers._resolve_precision(("conv5", "Conv1d_0")) is None  # restored
 
+    # specificity ignores decorative slashes: '/Conv1d_0/' must not
+    # outrank the more specific bare key 'decoder/Conv1d_0'
+    with layers.matmul_precision_overrides(
+        {"/Conv1d_0/": "float32", "decoder/Conv1d_0": "tensorfloat32"}
+    ):
+        assert (
+            layers._resolve_precision(("decoder", "Conv1d_0"))
+            == jax.lax.Precision.HIGH
+        )
+    # a longer key mapped to None shadows the shorter match (documented
+    # exemption semantics)
+    with layers.matmul_precision_overrides(
+        {"decoder": "float32", "decoder/Conv1d_0": None}
+    ):
+        assert layers._resolve_precision(("decoder", "Conv1d_0")) is None
+        assert (
+            layers._resolve_precision(("decoder", "Conv1d_1"))
+            == jax.lax.Precision.HIGHEST
+        )
+
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
     variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=2, T=T)
     x = jnp.asarray(rng.randn(2, T, IN_DIM).astype(np.float32))

@@ -96,10 +96,10 @@ def test_rbg_prng_training_and_key_checkpoint_roundtrip(tmp_path, rng):
     ckpt.save_checkpoint(path, {"epoch": 1, "state": state})
     loaded = ckpt.load_checkpoint(path)
     restored = loaded["state"]
-    # raw key data on disk; rewrap restores impl from the data shape
-    assert not jax.dtypes.issubdtype(
-        jnp.asarray(restored["rng"]).dtype, jax.dtypes.prng_key
-    )
+    # tagged key data on disk (impl name serialized alongside the data,
+    # so rbg vs unsafe_rbg is unambiguous); ensure_key rewraps exactly
+    assert isinstance(restored["rng"], ckpt._KeyData)
+    assert restored["rng"].impl == "rbg"
     restored["rng"] = ckpt.ensure_key(restored["rng"])
     restored = jax.tree.map(jnp.asarray, restored, is_leaf=lambda l: l is None)
     state2, g2 = tr._g_step(restored, x, y, None)
@@ -110,6 +110,21 @@ def test_rbg_prng_training_and_key_checkpoint_roundtrip(tmp_path, rng):
     legacy = np.asarray(jax.random.key_data(jax.random.key(0, impl="threefry2x32")))
     k = ckpt.ensure_key(legacy)
     assert jax.dtypes.issubdtype(k.dtype, jax.dtypes.prng_key)
+
+    # tagged round-trip preserves impls the shape heuristic cannot
+    # distinguish (unsafe_rbg shares rbg's (4,) data shape)
+    unsafe = jax.random.key(7, impl="unsafe_rbg")
+    tagged = ckpt._to_numpy({"k": unsafe})["k"]
+    k2 = ckpt.ensure_key(tagged)
+    assert str(jax.random.key_impl(k2)) == "unsafe_rbg"
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k2)),
+        np.asarray(jax.random.key_data(unsafe)),
+    )
+
+    # unrecognized raw data now fails loudly
+    with pytest.raises(ValueError, match="unrecognized PRNG key data"):
+        ckpt.ensure_key(np.zeros((3,), np.uint32))
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path, rng):
