@@ -27,6 +27,7 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.classifier imp
     ClassifierTrainer,
     dump_gt_pred_csv,
     load_data,
+    should_remat,
 )
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.metrics import (  # noqa: E402
     MetricsSink,
@@ -46,13 +47,37 @@ def main(args):
     X_val, Y_val = load_data(args.data_dir, args.data_type, "val")
     print(f"X_train {X_train.shape}, X_val {X_val.shape}", flush=True)
 
+    if args.remat:
+        remat = True
+    elif args.no_remat:
+        remat = False
+    else:
+        # auto: remat when the saved-activation footprint would OOM the
+        # device (the reference-default config needs ~27 GB on a 16 GB
+        # chip); exactness is test-covered, so auto-enabling only trades
+        # recompute FLOPs for fitting in HBM
+        remat = should_remat(
+            args.batch_size,
+            X_train.shape[1] if X_train.ndim == 3 else 192,
+            args.hidden_size,
+            args.num_layers,
+            args.bidir,
+        )
+        if remat:
+            print(
+                "===> auto-enabling LSTM remat (estimated activation "
+                "footprint exceeds device memory; pass --no_remat to "
+                "override)",
+                flush=True,
+            )
+
     module = ClassifLSTM(
         hidden_size=args.hidden_size,
         num_layers=args.num_layers,
         num_classes=10,
         bidirectional=args.bidir,
         dropout=args.dropout,
-        remat=args.remat,
+        remat=remat,
     )
     trainer = ClassifierTrainer(
         module,
@@ -121,8 +146,12 @@ def build_parser():
     parser.add_argument('--dropout', type=float, default=0.1)
     parser.add_argument('--optimizer', type=str, default="Adam", help='Adam | AdamW | NAdam')
     parser.add_argument('--remat', action="store_true",
-                        help='rematerialize LSTM layers in backward '
-                             '(fits large batches in HBM; exact)')
+                        help='force LSTM layer rematerialization in backward '
+                             '(fits large batches in HBM; exact).  Default is '
+                             'AUTO: remat is enabled when the estimated '
+                             'activation footprint exceeds device memory')
+    parser.add_argument('--no_remat', action="store_true",
+                        help='disable the automatic remat policy')
     parser.add_argument('--log_step', type=int, default=2)
     parser.add_argument('--use_wandb', action="store_true")
     return parser

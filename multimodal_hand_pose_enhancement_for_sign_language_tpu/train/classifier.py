@@ -34,6 +34,67 @@ OPTIMIZERS = {
 }
 
 
+def lstm_activation_bytes(
+    batch_size: int,
+    seq_len: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool,
+    dtype_bytes: int = 4,
+) -> int:
+    """Saved-activation footprint of one ClassifLSTM backward pass
+    WITHOUT remat.
+
+    Per layer/direction the scan saves roughly gates (4H) + cell state
+    (H) + hidden (H) + output (H) per step, plus the layer's input
+    (dirs*H + 1); a 1.5x calibration factor anchors the estimate to the
+    on-chip measurement (~27 GB for the reference-default hidden 1024 /
+    10 layers / bidir at B=128 x T=192 — TPU_PROBE.json
+    "classifier_bench")."""
+    dirs = 2 if bidirectional else 1
+    per_step = 7 * hidden_size + (dirs * hidden_size + 1)
+    return int(
+        1.5 * batch_size * seq_len * num_layers * dirs * per_step * dtype_bytes
+    )
+
+
+def should_remat(
+    batch_size: int,
+    seq_len: int,
+    hidden_size: int,
+    num_layers: int,
+    bidirectional: bool,
+    device=None,
+    memory_limit_bytes: Optional[int] = None,
+    headroom: float = 0.8,
+) -> bool:
+    """Auto-remat policy: rematerialize LSTM layers when the estimated
+    saved-activation footprint exceeds `headroom` x device memory.
+
+    The reference-default classifier config (main.py:143-160: hidden
+    1024, 10 layers, bidir, batch 128) needs ~27 GB of activations — an
+    HBM OOM on a 16 GB v5e — so the CLI resolves remat='auto' through
+    this policy.  `memory_limit_bytes` overrides device introspection
+    (tests); on non-TPU backends the answer is False (host RAM pages,
+    it doesn't OOM the same way — and the remat exactness test covers
+    correctness there)."""
+    if memory_limit_bytes is None:
+        dev = device if device is not None else jax.devices()[0]
+        if dev.platform != "tpu":
+            return False
+        try:
+            stats = dev.memory_stats()
+            memory_limit_bytes = stats.get("bytes_limit") if stats else None
+        except Exception:
+            memory_limit_bytes = None
+        if not memory_limit_bytes:
+            memory_limit_bytes = 16 * (1 << 30)  # v5e HBM
+    need = lstm_activation_bytes(
+        batch_size, seq_len, hidden_size, num_layers, bidirectional
+    )
+    return need > headroom * memory_limit_bytes
+
+
 def load_data(data_dir: str, data_type: str = "r6d", key: str = "train"):
     """Reference main.py:125-140."""
     f = {

@@ -278,3 +278,24 @@ def test_remat_is_exact(rng):
     g2 = jax.grad(lambda p: m2.apply({"params": p}, x, False).sum())(v["params"])
     for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_remat_policy():
+    """The CLI's remat='auto' policy: the reference-default config
+    (hidden 1024, 10 layers, bidir, B=128, T=192 — main.py:143-160)
+    must auto-remat on a 16 GB chip; small configs must not."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.classifier import (
+        lstm_activation_bytes,
+        should_remat,
+    )
+
+    gb16 = 16 * (1 << 30)
+    # the measured ~27 GB anchor: estimate within 2x of it
+    est = lstm_activation_bytes(128, 192, 1024, 10, True)
+    assert 18 * (1 << 30) < est < 40 * (1 << 30)
+    assert should_remat(128, 192, 1024, 10, True, memory_limit_bytes=gb16)
+    # the bench-validated non-remat point (B=32) fits
+    assert not should_remat(32, 192, 1024, 10, True, memory_limit_bytes=gb16)
+    assert not should_remat(8, 192, 64, 2, False, memory_limit_bytes=gb16)
+    # non-TPU backends never auto-remat (no HBM to OOM)
+    assert not should_remat(128, 192, 1024, 10, True)
