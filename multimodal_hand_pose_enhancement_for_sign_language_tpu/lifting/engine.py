@@ -18,6 +18,8 @@ partition.
 from __future__ import annotations
 
 import os
+import pickle
+import threading
 from functools import lru_cache, partial
 
 import jax
@@ -26,7 +28,6 @@ import numpy as np
 
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
     load_binary,
-    save_binary,
 )
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.lifting import (
     filtering,
@@ -270,6 +271,23 @@ def lift_clips(
             filter_impl = "pallas" if use_pallas else "xla"
     n_data = 1 if mesh is None else mesh.shape.get("data", 1)
     fn = _get_batched(n_cycles, filter_impl, mesh=mesh)
+
+    # Batches are DISPATCHED ahead and fetched behind (bounded in-flight
+    # queue): jax dispatch is async, so while batch k's result streams
+    # back host<->device, batches k+1..k+depth are already computing.
+    # On the tunnel-attached dev chip transfers dominate (TPU_PROBE
+    # "article_lifting": 671 s wall vs 3.3 s compute), so overlapping
+    # fetch with compute+staging is the lever; depth is small because
+    # each in-flight batch holds its padded inputs + outputs on device.
+    pending: list = []
+    depth = 3
+
+    def _drain(entry):
+        chunk, res_dev = entry
+        res = np.asarray(res_dev)
+        for slot, (i, c) in enumerate(chunk):
+            out[i] = res[slot, : c.shape[0]]
+
     for tb, members in groups.items():
         for start in range(0, len(members), max_batch):
             chunk = members[start : start + max_batch]
@@ -285,10 +303,24 @@ def lift_clips(
                 kps[slot, : c.shape[0]] = c
                 masks[slot, : c.shape[0]] = 1.0
                 noises[slot, :, : c.shape[0]] = _clip_noise(c.shape[0])
-            res = np.asarray(fn(jnp.asarray(kps), jnp.asarray(masks), jnp.asarray(noises)))
-            for slot, (i, c) in enumerate(chunk):
-                out[i] = res[slot, : c.shape[0]]
+            res_dev = fn(jnp.asarray(kps), jnp.asarray(masks), jnp.asarray(noises))
+            pending.append((chunk, res_dev))
+            if len(pending) > depth:
+                _drain(pending.pop(0))
+    for entry in pending:
+        _drain(entry)
     return out
+
+
+def _atomic_save(obj, filename: str) -> None:
+    """save_binary's naming contract with a temp-file + rename write, so
+    a crash mid-pickle never leaves a truncated checkpoint (the resume
+    path trusts whatever it finds on disk)."""
+    final = filename if filename.endswith(".pkl") else filename + ".pkl"
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, final)
 
 
 def lift_2d_to_3d(
@@ -301,21 +333,40 @@ def lift_2d_to_3d(
     """Partitioned, resumable lifting over a clip list — the reference's
     file contract (utils/utils.py:120-137): results are appended to
     `filename` one partition at a time, so a crashed run resumes.
-    `mesh` shards each partition's clip batch across chips."""
+    `mesh` shards each partition's clip batch across chips.
+
+    Host I/O overlaps device compute two ways: partition k's checkpoint
+    pickle is written by a background thread while partition k+1 lifts
+    (joined before the next write, so the on-disk file is always a
+    consistent prefix), and inside each partition `lift_clips` keeps a
+    bounded queue of in-flight device batches.
+    """
     feats_3d = []
     if os.path.exists(filename):
         print(f" -> Found file with name {filename}. Appending results.", flush=True)
         feats_3d = load_binary(filename)
     idx = len(feats) // nPartitions + 1
     done = len(feats_3d)
-    for i in range(nPartitions):
-        chunk = feats[idx * i : idx * (i + 1)]
-        if not chunk:
-            continue
-        if min(idx * (i + 1), len(feats)) <= done:
-            continue  # partition already lifted in a previous run
-        lifted = lift_clips(chunk, n_cycles=n_cycles, mesh=mesh)
-        feats_3d = feats_3d + lifted
-        save_binary(feats_3d, filename)
-        print(f"LIFTED {int((i + 1) / nPartitions * 100)}%", flush=True)
+    writer = None
+    try:
+        for i in range(nPartitions):
+            chunk = feats[idx * i : idx * (i + 1)]
+            if not chunk:
+                continue
+            if min(idx * (i + 1), len(feats)) <= done:
+                continue  # partition already lifted in a previous run
+            lifted = lift_clips(chunk, n_cycles=n_cycles, mesh=mesh)
+            # rebinding (not mutating) keeps the list handed to the
+            # writer thread immutable
+            feats_3d = feats_3d + lifted
+            if writer is not None:
+                writer.join()
+            writer = threading.Thread(
+                target=_atomic_save, args=(feats_3d, filename)
+            )
+            writer.start()
+            print(f"LIFTED {int((i + 1) / nPartitions * 100)}%", flush=True)
+    finally:
+        if writer is not None:
+            writer.join()
     return feats_3d
