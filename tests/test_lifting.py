@@ -121,7 +121,7 @@ def test_filtering_matches_tf_reference(demo_xyw):
     ref_init = _ref_initialization(Xx, Xy, Xw)
     rlines, rrx, rry, rrz, rax, ray, raz, rYx0, rYy0, rYz0 = ref_init
 
-    n_cycles = 60  # same count on both sides
+    n_cycles = 900  # the reference's production count (utils/utils.py:91-92)
     T, n_points = Xx.shape
     x = tf.Variable(rYx0)
     y = tf.Variable(rYy0)
@@ -150,9 +150,13 @@ def test_filtering_matches_tf_reference(demo_xyw):
         rlines, rrx, rry, rrz, rax, ray, raz, Xx, Xy, Xw,
         None, "float32", learningRate=20.0, nCycles=n_cycles,
     )
-    np.testing.assert_allclose(np.asarray(oYx), rYx, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(oYy), rYy, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(oYz), rYz, atol=2e-3)
+    # measured regime: MPJPE 9e-8 / max_abs 5e-7 at 900 cycles on the
+    # FULL 583-frame demo (tpu_lifting_cycles_curve.py; error SHRINKS
+    # with cycles — the SGD is contracting), so 1e-5 carries ~20x margin
+    # while sitting 100x under the 1e-3 parity budget
+    np.testing.assert_allclose(np.asarray(oYx), rYx, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oYy), rYy, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oYz), rYz, atol=1e-5)
 
 
 def test_fk_matches_loss_at_init(demo_xyw):
