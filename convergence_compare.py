@@ -32,10 +32,12 @@ ensure_platform_from_env()
 REF = "/root/reference"
 
 
-def make_windows(n=128, T=32, din=12, dout=24, seed=7):
+def make_windows(n=128, T=32, din=12, dout=24, seed=7, with_feats=False):
     """Smooth random curves, standardized with the framework's
     calc_standard (tested equal to the reference's) — both sides consume
-    the exact same float32 arrays."""
+    the exact same float32 arrays.  With `with_feats`, also returns
+    512-d pseudo text embeddings correlated with the targets (text feats
+    pass through UN-standardized, matching the reference's load path)."""
     from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
         standardize,
     )
@@ -52,51 +54,112 @@ def make_windows(n=128, T=32, din=12, dout=24, seed=7):
     train_X, val_X = X[:-n_val], X[-n_val:]
     train_Y, val_Y = Y[:-n_val], Y[-n_val:]
     mx, sx, my, sy = standardize.calc_standard(train_X, train_Y, "arm2wh")
-    return (
+    out = [
         (train_X - mx) / sx, (train_Y - my) / sy,
         (val_X - mx) / sx, (val_Y - my) / sy,
-    )
+    ]
+    if with_feats:
+        emb = rng.randn(n, 512).astype(np.float32)
+        emb[:, :din] += phase[:, 0, :]  # weakly informative, like real text
+        out += [emb[:-n_val], emb[-n_val:]]
+    else:
+        out += [None, None]
+    return tuple(out)
 
 
-def torch_models(din, dout, default_size, seed=23456):
+TORCH_GENS = {"v1": "regressor_fcn_bn_32", "v2": "regressor_fcn_bn_32_v2"}
+
+
+def torch_models(din, dout, default_size, seed=23456, model="v1",
+                 require_text=None):
     import torch
 
     sys.path.append(REF)
     import modelZoo as ref_zoo
 
     torch.manual_seed(seed)  # train_gan.py:48
-    gen = ref_zoo.regressor_fcn_bn_32()
-    gen.build_net(din, dout, require_text=None, default_size=default_size)
+    gen = getattr(ref_zoo, TORCH_GENS[model])()
+    gen.build_net(din, dout, require_text=require_text, default_size=default_size)
     disc = ref_zoo.regressor_fcn_bn_discriminator()
     disc.build_net(dout)
     return gen, disc
 
 
+def torch_robust_criterion(dout, T):
+    """The reference's RobustLoss construction (train_gan.py:74-78) on
+    CPU, incl. its quirk: the adaptive latents are NOT in the optimizer
+    (only generator.parameters() are, :69), so alpha/scale stay at their
+    init."""
+    import torch
+
+    sys.path.append(os.path.join(REF, "utils"))
+    # distribution.py uses the long-removed pkg_resources API; shim just
+    # resource_stream so it can load its spline resource
+    if "pkg_resources" not in sys.modules:
+        import importlib
+        import types
+
+        def _resource_stream(package, resource):
+            mod = importlib.import_module(package)
+            return open(
+                os.path.join(os.path.dirname(mod.__file__), resource), "rb"
+            )
+
+        shim = types.ModuleType("pkg_resources")
+        shim.resource_stream = _resource_stream
+        sys.modules["pkg_resources"] = shim
+    from robust_loss import adaptive as ref_adaptive
+
+    return ref_adaptive.AdaptiveLossFunction(
+        num_dims=dout * T, float_dtype=torch.float32, device="cpu"
+    )
+
+
 def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
-              default_size, epochs_train_disc=3, seed=23456):
+              default_size, epochs_train_disc=3, seed=23456, loss="L1",
+              model="v1", train_F=None, val_F=None):
     """The reference loop, faithfully: train_gan.py:102-121 schedule,
-    :215-254 D step, :258-297 G step, :312-340 val at batch//2."""
+    :215-254 D step, :258-297 G step (incl. the RobustLoss branch
+    :286-292), :312-340 val at batch//2."""
     import torch
     from torch import nn
 
     din, dout = train_X.shape[-1], train_Y.shape[-1]
-    gen, disc = torch_models(din, dout, default_size, seed)
+    require_text = True if train_F is not None else None
+    gen, disc = torch_models(din, dout, default_size, seed, model=model,
+                             require_text=require_text)
     init_sd = {k: v.clone() for k, v in gen.state_dict().items()}
     init_d_sd = {k: v.clone() for k, v in disc.state_dict().items()}
+    # only generator.parameters() enter Adam (train_gan.py:69): the
+    # RobustLoss latents are created but never optimized (the quirk)
     g_opt = torch.optim.Adam(gen.parameters(), lr=lr, weight_decay=0)
     d_opt = torch.optim.Adam(disc.parameters(), lr=lr, weight_decay=0)
     gan_criterion = nn.MSELoss()
-    reg = nn.L1Loss()
+    if loss == "RobustLoss":
+        robust = torch_robust_criterion(dout, train_X.shape[1])
+
+        def reg(out, yb):
+            o2 = torch.reshape(out, (out.shape[0], -1))
+            y2 = torch.reshape(yb, (out.shape[0], -1))
+            return torch.mean(robust.lossfun(o2 - y2))
+    else:
+        reg = nn.L1Loss()
     rng = np.random.RandomState(seed)  # train_gan.py:47 (shuffle stream)
 
     def calc_motion(t):
         return t[:, :, :1] - t[:, :, :-1]
+
+    def fwd(xb, fb):
+        if fb is None:
+            return gen(xb)
+        return gen(xb, feats_=fb)
 
     # reference data layout is (N, D, T)
     trX = np.swapaxes(train_X, 1, 2).copy()
     trY = np.swapaxes(train_Y, 1, 2).copy()
     vaX = np.swapaxes(val_X, 1, 2).copy()
     vaY = np.swapaxes(val_Y, 1, 2).copy()
+    trF = None if train_F is None else train_F.copy()
 
     hist = {"train": [], "val": [], "disc": []}
     for epoch in range(epochs):
@@ -107,8 +170,9 @@ def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
             for bi in range(nb):
                 sl = slice(bi * batch_size, (bi + 1) * batch_size)
                 xb = torch.from_numpy(trX[sl]); yb = torch.from_numpy(trY[sl])
+                fb = None if trF is None else torch.from_numpy(trF[sl])
                 with torch.no_grad():
-                    fake = gen(xb).detach()
+                    fake = fwd(xb, fb).detach()
                 fs = disc(calc_motion(fake)); rs = disc(calc_motion(yb))
                 d_loss = gan_criterion(fs, torch.zeros_like(fs)) + gan_criterion(
                     rs, torch.ones_like(rs))
@@ -122,7 +186,8 @@ def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
             for bi in range(nb):
                 sl = slice(bi * batch_size, (bi + 1) * batch_size)
                 xb = torch.from_numpy(trX[sl]); yb = torch.from_numpy(trY[sl])
-                out = gen(xb)
+                fb = None if trF is None else torch.from_numpy(trF[sl])
+                out = fwd(xb, fb)
                 with torch.no_grad():
                     fs = disc(calc_motion(out))
                 fs = fs.detach()
@@ -138,18 +203,21 @@ def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
             with torch.no_grad():
                 for bi in range(nvb):
                     sl = slice(bi * vb, (bi + 1) * vb)
-                    out = gen(torch.from_numpy(vaX[sl]))
+                    fb = None if val_F is None else torch.from_numpy(val_F[sl])
+                    out = fwd(torch.from_numpy(vaX[sl]), fb)
                     vtotal += reg(out, torch.from_numpy(vaY[sl])).item() * vb
             hist["val"].append(vtotal / max(nvb * vb, 1))
         # per-epoch train reshuffle (train_gan.py:113-119)
         I = np.arange(trX.shape[0]); rng.shuffle(I)
         trX, trY = trX[I], trY[I]
+        if trF is not None:
+            trF = trF[I]
     return hist, init_sd, init_d_sd
 
 
 def run_jax(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
             default_size, init_sd, init_d_sd, epochs_train_disc=3,
-            seed=23456):
+            seed=23456, loss="L1", model="v1", train_F=None, val_F=None):
     """GanTrainer with the same ported initial weights and the same
     shared shuffle stream."""
     import jax
@@ -165,10 +233,11 @@ def run_jax(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
 
     din, dout = train_X.shape[-1], train_Y.shape[-1]
     cfg = GanConfig(
-        model="v1", feature_in_dim=din, feature_out_dim=dout,
+        model=model, feature_in_dim=din, feature_out_dim=dout,
         default_size=default_size, window_t=train_X.shape[1],
-        batch_size=batch_size, learning_rate=lr, loss="L1",
+        batch_size=batch_size, learning_rate=lr, loss=loss,
         epochs_train_disc=epochs_train_disc,
+        require_text=train_F is not None,
     )
     tr = GanTrainer(cfg)
     state = tr.init_state()
@@ -183,36 +252,59 @@ def run_jax(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
 
     rng = np.random.RandomState(seed)
     trX, trY = train_X.copy(), train_Y.copy()
+    trF = None if train_F is None else train_F.copy()
     hist = {"train": [], "val": [], "disc": []}
     for epoch in range(epochs):
         if epoch > 0 and epoch % epochs_train_disc == 0:
-            state, d = tr.run_epoch(state, trX, trY, None, "d", batch_size)
+            state, d = tr.run_epoch(state, trX, trY, trF, "d", batch_size)
             hist["disc"].append(d)
         else:
-            state, g = tr.run_epoch(state, trX, trY, None, "g", batch_size)
+            state, g = tr.run_epoch(state, trX, trY, trF, "g", batch_size)
             hist["train"].append(g)
-            _, v = tr.run_epoch(state, val_X, val_Y, None, "val", batch_size // 2)
+            _, v = tr.run_epoch(
+                state, val_X, val_Y, val_F, "val", batch_size // 2
+            )
             hist["val"].append(v)
         I = np.arange(trX.shape[0]); rng.shuffle(I)
         trX, trY = trX[I], trY[I]
+        if trF is not None:
+            trF = trF[I]
     return hist
 
 
+# The three convergence corners (VERDICT r2): the plain path, the
+# adaptive-NLL path (RobustLoss quirk: latents never optimized), and
+# the text-conditioned v2 path (time-concat bottleneck).
+CONFIGS = {
+    "v1_l1": dict(model="v1", loss="L1", with_feats=False),
+    "v1_robust": dict(model="v1", loss="RobustLoss", with_feats=False),
+    "v2_text": dict(model="v2", loss="L1", with_feats=True),
+}
+
+
 def compare(epochs=50, n=128, T=32, din=12, dout=24, batch_size=16,
-            lr=1e-4, default_size=32):
-    train_X, train_Y, val_X, val_Y = make_windows(n, T, din, dout)
+            lr=1e-4, default_size=32, config="v1_l1"):
+    spec = CONFIGS[config]
+    train_X, train_Y, val_X, val_Y, train_F, val_F = make_windows(
+        n, T, din, dout, with_feats=spec["with_feats"]
+    )
     t_hist, init_sd, init_d_sd = run_torch(
-        train_X, train_Y, val_X, val_Y, epochs, batch_size, lr, default_size
+        train_X, train_Y, val_X, val_Y, epochs, batch_size, lr, default_size,
+        loss=spec["loss"], model=spec["model"], train_F=train_F, val_F=val_F,
     )
     j_hist = run_jax(
         train_X, train_Y, val_X, val_Y, epochs, batch_size, lr, default_size,
-        init_sd, init_d_sd,
+        init_sd, init_d_sd, loss=spec["loss"], model=spec["model"],
+        train_F=train_F, val_F=val_F,
     )
     k = max(1, min(5, len(t_hist["val"])))
     t_final = float(np.mean(t_hist["val"][-k:]))
     j_final = float(np.mean(j_hist["val"][-k:]))
     tr_t = np.asarray(t_hist["train"]); tr_j = np.asarray(j_hist["train"])
     res = {
+        "config": config,
+        "model": spec["model"],
+        "loss": spec["loss"],
         "epochs": epochs,
         "torch_train": t_hist["train"], "jax_train": j_hist["train"],
         "torch_val": t_hist["val"], "jax_val": j_hist["val"],
@@ -233,12 +325,29 @@ def main():
     p.add_argument("--n", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--out", type=str, default="CONVERGENCE.json")
+    p.add_argument(
+        "--configs", nargs="+", default=["v1_l1"],
+        choices=sorted(CONFIGS), help="which corners to run ('all' via "
+        "listing them); results are keyed by config in --out",
+    )
     args = p.parse_args()
-    res = compare(epochs=args.epochs, n=args.n, batch_size=args.batch_size)
+    # merge into an existing record so corners can be (re)run separately
+    all_res = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        # legacy flat schema (r2: a single v1_l1 record) migrates in
+        all_res = prev if "config" not in prev and any(
+            k in CONFIGS for k in prev
+        ) else {"v1_l1": prev}
+    for config in args.configs:
+        res = compare(epochs=args.epochs, n=args.n,
+                      batch_size=args.batch_size, config=config)
+        all_res[config] = res
+        print(json.dumps({k: v for k, v in res.items()
+                          if not isinstance(v, list)}, indent=1))
     with open(args.out, "w") as f:
-        json.dump(res, f, indent=1)
-    print(json.dumps({k: v for k, v in res.items()
-                      if not isinstance(v, list)}, indent=1))
+        json.dump(all_res, f, indent=1)
 
 
 if __name__ == "__main__":
