@@ -99,7 +99,7 @@ def main(args):
     return curr_best_acc
 
 
-if __name__ == "__main__":
+def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument('--data_dir', type=str, default="video_data")
     parser.add_argument('--models_dir', type=str, default="models/")
@@ -110,6 +110,10 @@ if __name__ == "__main__":
     parser.add_argument('--optimizer', type=str, default="Adam")
     parser.add_argument('--log_step', type=int, default=2)
     parser.add_argument('--use_wandb', action="store_true")
-    args = parser.parse_args()
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
     print(args, flush=True)
     main(args)

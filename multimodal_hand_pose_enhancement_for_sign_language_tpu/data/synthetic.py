@@ -105,12 +105,19 @@ def make_r6d_dataset(
     seed: int = 0,
     text_dim: int = 512,
     image_dim: int = 2000,
+    split_counts: dict | None = None,
+    save_image_feats: bool = True,
 ):
     """Write processed pickles for all three splits under `data_dir`.
 
     The r6d data is geometrically valid: random smooth axis-angle curves
     run through FK to xyz, back through IK to aa, then to r6d — matching
     what the real pipeline produces.
+
+    `split_counts` overrides the per-split clip counts (e.g. the article
+    scale {'train': 31128, 'val': 1741, 'test': 2322}, §5 of the PDF);
+    `save_image_feats=False` skips the (T, 2000) per-clip ResNet-feature
+    pickles, which dominate disk at article scale.
     """
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -120,7 +127,10 @@ def make_r6d_dataset(
 
     out = {}
     for split in SPLITS:
-        n = n_clips if split == "train" else max(2, n_clips // 2)
+        if split_counts is not None:
+            n = int(split_counts[split])
+        else:
+            n = n_clips if split == "train" else max(2, n_clips // 2)
         aa_clips = []
         for _ in range(n):
             T = int(rng.randint(*t_range))

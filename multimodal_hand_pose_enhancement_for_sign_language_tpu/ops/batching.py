@@ -33,12 +33,20 @@ def _bucket_len(t: int, t_bucket: int) -> int:
     return ((t + t_bucket - 1) // t_bucket) * t_bucket
 
 
-def apply_clipwise(fn, clips, *args, t_bucket: int = 64, dtype=np.float32):
+def apply_clipwise(
+    fn, clips, *args, t_bucket: int = 64, dtype=np.float32,
+    max_batch: int = 1024,
+):
     """Apply `fn(clip, *args) -> array` to every (T_i, D) clip in `clips`.
 
     `fn` must be vmappable over the clip axis and frame-independent.
     Extra `args` are broadcast (passed unbatched) to every clip.
     Returns a list of np.ndarrays with original T_i leading dims.
+
+    `max_batch` bounds one device call's clip count: an article-scale
+    group (31K clips in one T-bucket) would otherwise materialize a
+    multi-GB padded stack (plus 3x3-matrix intermediates) in a single
+    call.  Full groups of max_batch share one compiled program.
     """
     if len(clips) == 0:
         return []
@@ -52,18 +60,20 @@ def apply_clipwise(fn, clips, *args, t_bucket: int = 64, dtype=np.float32):
 
     out = [None] * len(clips)
     for (tb, feat_shape), members in groups.items():
-        n = len(members)
-        nb = _next_pow2(n)
-        stack = np.empty((nb, tb) + feat_shape, dtype=dtype)
-        for slot, (i, c) in enumerate(members):
-            stack[slot, : c.shape[0]] = c
-            if c.shape[0] < tb:  # edge-pad with the last frame
-                stack[slot, c.shape[0] :] = c[-1]
-        for slot in range(n, nb):  # batch padding: repeat first clip
-            stack[slot] = stack[0]
-        res = np.asarray(batched(jnp.asarray(stack), *args))
-        for slot, (i, c) in enumerate(members):
-            out[i] = res[slot, : c.shape[0]]
+        for start in range(0, len(members), max_batch):
+            chunk = members[start : start + max_batch]
+            n = len(chunk)
+            nb = _next_pow2(n)
+            stack = np.empty((nb, tb) + feat_shape, dtype=dtype)
+            for slot, (i, c) in enumerate(chunk):
+                stack[slot, : c.shape[0]] = c
+                if c.shape[0] < tb:  # edge-pad with the last frame
+                    stack[slot, c.shape[0] :] = c[-1]
+            for slot in range(n, nb):  # batch padding: repeat first clip
+                stack[slot] = stack[0]
+            res = np.asarray(batched(jnp.asarray(stack), *args))
+            for slot, (i, c) in enumerate(chunk):
+                out[i] = res[slot, : c.shape[0]]
     return out
 
 

@@ -180,7 +180,7 @@ def main(args):
         process_split(args, split)
 
 
-if __name__ == "__main__":
+def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset_path", type=str, required=True, help="root of the OpenPose-format dataset")
     parser.add_argument("--data_dir", type=str, default="video_data", help="output directory")
@@ -198,7 +198,11 @@ if __name__ == "__main__":
     parser.add_argument("--n_partitions", type=int, default=40, help="lifting checkpoint partitions")
     parser.add_argument("--n_cycles", type=int, default=900, help="lifting SGD cycles")
     parser.add_argument("--workers", type=int, default=None, help="ingestion processes")
-    args = parser.parse_args()
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
     # allow templates relative to the dataset root
     if not os.path.isabs(args.text_path_template) and not os.path.exists(
         args.text_path_template.format(split="train")
