@@ -216,6 +216,7 @@ def stage_classifier(tag, r6d_dir, data_dir, model_dir, args):
     ns.num_layers = args.classifier_layers
     ns.bidir = args.classifier_bidir
     ns.no_remat = False
+    ns.epoch_scan = True  # device-resident: no per-step batch uploads
     t0 = time.perf_counter()
     acc = classifier_main.main(ns)
     wall = time.perf_counter() - t0

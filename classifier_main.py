@@ -89,15 +89,32 @@ def main(args):
     params, opt_state = trainer.init_state(rng, X_train[: min(2, len(X_train))])
     shuffle_rng = np.random.RandomState(23456)  # main.py:75
 
+    if args.epoch_scan:
+        # device-resident fast path: the dataset is uploaded once; only
+        # the shuffle permutation crosses the host boundary per epoch
+        dX, dY = trainer.stage(X_train, Y_train)
+        vX, vY = trainer.stage(X_val, Y_val)
+        order = np.arange(X_train.shape[0])
+
     curr_best_acc = 0.0
     rng_key = jax.random.PRNGKey(2)
     for epoch in range(args.num_epochs):
-        params, opt_state, tr_losses, tr_acc, rng_key = trainer.train_epoch(
-            params, opt_state, X_train, Y_train, args.batch_size, rng_key
-        )
-        val_loss, val_acc, (GT, predY) = trainer.val_epoch(
-            params, X_val, Y_val, args.batch_size
-        )
+        if args.epoch_scan:
+            params, opt_state, tr_losses, tr_acc, rng_key = (
+                trainer.train_epoch_resident(
+                    params, opt_state, dX, dY, order, args.batch_size, rng_key
+                )
+            )
+            val_loss, val_acc, (GT, predY) = trainer.val_epoch_resident(
+                params, vX, vY, args.batch_size
+            )
+        else:
+            params, opt_state, tr_losses, tr_acc, rng_key = trainer.train_epoch(
+                params, opt_state, X_train, Y_train, args.batch_size, rng_key
+            )
+            val_loss, val_acc, (GT, predY) = trainer.val_epoch(
+                params, X_val, Y_val, args.batch_size
+            )
         sink.log(
             {
                 "epoch": epoch,
@@ -124,7 +141,10 @@ def main(args):
 
         I = np.arange(X_train.shape[0])
         shuffle_rng.shuffle(I)
-        X_train, Y_train = X_train[I], Y_train[I]
+        if args.epoch_scan:
+            order = order[I]  # compose permutations; data stays on device
+        else:
+            X_train, Y_train = X_train[I], Y_train[I]
     sink.close()
     return curr_best_acc
 
@@ -152,6 +172,10 @@ def build_parser():
                              'activation footprint exceeds device memory')
     parser.add_argument('--no_remat', action="store_true",
                         help='disable the automatic remat policy')
+    parser.add_argument('--epoch_scan', action="store_true",
+                        help='EXTENSION: stage the dataset in device memory '
+                             'once and feed steps batch-index vectors only '
+                             '(removes per-step host->device transfers)')
     parser.add_argument('--log_step', type=int, default=2)
     parser.add_argument('--use_wandb', action="store_true")
     return parser

@@ -146,6 +146,15 @@ class ClassifierTrainer:
                 self.tx = opt
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # device-resident variants: the full dataset is staged in device
+        # memory ONCE and each step receives only a batch-index vector,
+        # so a tunnel-attached (or multi-host) run is not bound by
+        # per-step host->device batch transfers (28 MB/step at the
+        # reference-default B=128 x T=192 x D=288)
+        self._train_step_idx = jax.jit(
+            self._train_step_idx_impl, donate_argnums=(0, 1)
+        )
+        self._eval_step_idx = jax.jit(self._eval_step_idx_impl)
 
     def init_state(self, rng, sample_x):
         params = self.module.init({"params": rng}, jnp.asarray(sample_x), False)[
@@ -182,6 +191,25 @@ class ClassifierTrainer:
         pred = jnp.argmax(logits, axis=-1)
         return loss, jnp.sum(pred == labels), pred
 
+    def _train_step_idx_impl(self, params, opt_state, X, Y, idx, rng):
+        return self._train_step_impl(
+            params, opt_state,
+            jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), rng,
+        )
+
+    def _eval_step_idx_impl(self, params, X, Y, idx):
+        return self._eval_step_impl(
+            params, jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0)
+        )
+
+    # ------------------------------------------------------------------
+    def stage(self, X, Y):
+        """Upload the dataset to device memory once (labels pre-shifted
+        to 0-based).  Use with the *_resident epoch loops; the per-epoch
+        shuffle then composes index permutations on the host instead of
+        re-uploading data."""
+        return jnp.asarray(X), jnp.asarray(np.asarray(Y) - 1)
+
     # ------------------------------------------------------------------
     def train_epoch(self, params, opt_state, X, Y, batch_size, rng_key):
         """One pass; labels are 1-based on disk, shifted -1 here
@@ -198,6 +226,39 @@ class ClassifierTrainer:
             acc += int(a)
         denom = max(len(batchinds) * batch_size, 1)
         return params, opt_state, losses, acc / denom, rng_key
+
+    def train_epoch_resident(
+        self, params, opt_state, dX, dY, order, batch_size, rng_key
+    ):
+        """train_epoch over staged device arrays: only (B,)-int index
+        vectors cross the host boundary per step.  Identical math to
+        train_epoch on X[order] (labels already shifted by stage())."""
+        n_batches = len(order) // batch_size
+        losses, acc = [], 0
+        for bi in range(n_batches):
+            idx = jnp.asarray(order[bi * batch_size : (bi + 1) * batch_size])
+            rng_key, sub = jax.random.split(rng_key)
+            params, opt_state, loss, a = self._train_step_idx(
+                params, opt_state, dX, dY, idx, sub
+            )
+            losses.append(float(loss))
+            acc += int(a)
+        denom = max(n_batches * batch_size, 1)
+        return params, opt_state, losses, acc / denom, rng_key
+
+    def val_epoch_resident(self, params, dX, dY, batch_size):
+        n_batches = int(dX.shape[0]) // batch_size
+        total_loss, acc = 0.0, 0
+        GT, predY = [], []
+        for bi in range(n_batches):
+            idx = jnp.arange(bi * batch_size, (bi + 1) * batch_size)
+            loss, a, pred = self._eval_step_idx(params, dX, dY, idx)
+            total_loss += float(loss)
+            acc += int(a)
+            GT += np.asarray(jnp.take(dY, idx, axis=0)).tolist()
+            predY += np.asarray(pred).tolist()
+        denom = max(n_batches * batch_size, 1)
+        return total_loss, acc / denom, (GT, predY)
 
     def val_epoch(self, params, X, Y, batch_size):
         batchinds = np.arange(X.shape[0] // batch_size)

@@ -280,6 +280,46 @@ def test_remat_is_exact(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resident_epoch_matches_regular(rng):
+    """Device-resident classifier epochs (stage + index-vector steps)
+    must equal the host-fed path across a shuffle boundary."""
+    import jax.numpy as jnp
+
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.classifier import (
+        ClassifierTrainer,
+    )
+
+    X = rng.randn(12, 10, 8).astype(np.float32)
+    Y = rng.randint(1, 11, size=12)
+    module = ClassifLSTM(hidden_size=8, num_layers=1, bidirectional=False,
+                         dropout=0.0)
+
+    t1 = ClassifierTrainer(module)
+    p1, o1 = t1.init_state(jax.random.PRNGKey(1), X[:2])
+    k = jax.random.PRNGKey(5)
+    I = np.random.RandomState(0).permutation(12)
+    p1, o1, l1a, acc1a, k1 = t1.train_epoch(p1, o1, X, Y, 4, k)
+    p1, o1, l1b, acc1b, _ = t1.train_epoch(p1, o1, X[I], Y[I], 4, k1)
+    vl1, va1, (GT1, P1) = t1.val_epoch(p1, X, Y, 4)
+
+    t2 = ClassifierTrainer(module)
+    p2, o2 = t2.init_state(jax.random.PRNGKey(1), X[:2])
+    dX, dY = t2.stage(X, Y)
+    order = np.arange(12)
+    p2, o2, l2a, acc2a, k2 = t2.train_epoch_resident(p2, o2, dX, dY, order, 4, k)
+    order = order[I]
+    p2, o2, l2b, acc2b, _ = t2.train_epoch_resident(p2, o2, dX, dY, order, 4, k2)
+    vl2, va2, (GT2, P2) = t2.val_epoch_resident(p2, dX, dY, 4)
+
+    np.testing.assert_allclose(l1a, l2a, atol=1e-6)
+    np.testing.assert_allclose(l1b, l2b, atol=1e-6)
+    assert (acc1a, acc1b) == (acc2a, acc2b)
+    assert abs(vl1 - vl2) < 1e-5 and va1 == va2
+    assert GT1 == GT2 and P1 == P2
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_auto_remat_policy():
     """The CLI's remat='auto' policy: the reference-default config
     (hidden 1024, 10 layers, bidir, B=128, T=192 — main.py:143-160)
