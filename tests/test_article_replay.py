@@ -1,0 +1,56 @@
+"""The article-replay driver end to end at tiny scale (slow suite).
+
+The full-scale run is the on-chip artifact (ARTICLE_REPLAY.json); this
+guards the chain itself: fixture -> train (both canonical configs,
+resident scan) -> per-split inference + save_results -> classifiers.
+The raw OpenPose -> process_dataset leg is covered by test_datasets.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.mark.slow
+def test_article_replay_tiny(tmp_path):
+    import article_replay
+
+    out = str(tmp_path / "AR.json")
+    args = article_replay.build_parser().parse_args(
+        [
+            "--scale", "tiny",
+            "--epochs", "3",
+            "--batch_size", "8",
+            "--classifier_epochs", "2",
+            "--classifier_batch", "8",
+            "--work_dir", str(tmp_path / "work"),
+            "--out", out,
+            "--skip_raw_smoke",
+        ]
+    )
+    report = article_replay.main(args)
+
+    assert os.path.exists(out)
+    on_disk = json.load(open(out))
+    assert set(on_disk["configs"]) == {
+        "arm2wh_v1_L1", "arm_wh2finger1_v2_text_RobustLoss"
+    }
+    for entry in on_disk["configs"].values():
+        for split in ("train", "val", "test"):
+            assert np.isfinite(entry["inference"]["L1"][split])
+        assert entry["train"]["wall_s"] > 0
+    # the surrogate eval ran on both GT and enhanced sequences + text MLP
+    assert set(on_disk["classifier"]) == {
+        "ground_truth_r6d", "enhanced_r6d", "text_mlp"
+    }
+    for rec in on_disk["classifier"].values():
+        assert 0.0 <= rec["best_val_acc"] <= 1.0
+    # published numbers recorded alongside for the judge/table comparison
+    assert on_disk["article_reference"]["table1_arm2wh_L1"]["val"] == 2.38
+    assert report["total_wall_s"] > 0
