@@ -85,21 +85,36 @@ CONFIGS = [
 
 
 def stage_fixture(args, work):
-    """Synthetic article-scale pickles, or the user's --data_dir as-is."""
+    """Synthetic article-scale pickles, or the user's --data_dir as-is.
+
+    Generation runs in a CPU-backend SUBPROCESS: on a tunnel-attached
+    dev chip the conversion chain's host<->device transfers would
+    dominate (measured: >1 h for the 31K-clip fixture through the
+    tunnel vs minutes host-local), and fixture prep is one-time data
+    plumbing, not the workload under measurement."""
     if args.data_dir:
         return args.data_dir, {"source": args.data_dir, "wall_s": 0.0}
-    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
-        synthetic,
-    )
+
+    import subprocess
 
     data_dir = os.path.join(work, "video_data")
     counts = SCALES[args.scale]
+    small = args.scale in ("small", "tiny")
+    code = (
+        "from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils."
+        "platform import ensure_platform_from_env\n"
+        "ensure_platform_from_env()\n"
+        "from multimodal_hand_pose_enhancement_for_sign_language_tpu.data "
+        "import synthetic\n"
+        f"synthetic.make_r6d_dataset({data_dir!r}, split_counts={counts!r}, "
+        f"seed=7, save_image_feats={small!r}, ik_roundtrip={small!r})\n"
+    )
     t0 = time.perf_counter()
-    synthetic.make_r6d_dataset(
-        data_dir,
-        split_counts=counts,
-        seed=7,
-        save_image_feats=args.scale in ("small", "tiny"),
+    subprocess.run(
+        [sys.executable, "-c", code],
+        check=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     wall = time.perf_counter() - t0
     print(f"[fixture] {counts} in {wall:.1f}s -> {data_dir}", flush=True)
@@ -186,7 +201,11 @@ def stage_infer(cfg, data_dir, model_dir, args):
         ns.infer_set = split
         ns.exp_name = cfg["name"]
         ns.batch_size = args.batch_size
-        ns.num_samples = 10**9  # every window (classifier needs all)
+        # the reference CAPS inference at --num_samples (default 3000;
+        # its launcher passes 1000) — the replay keeps that contract,
+        # which also bounds the result-fetch volume on a tunnel-attached
+        # dev chip.  Pass --num_samples -1 for every window.
+        ns.num_samples = args.num_samples if args.num_samples > 0 else 10**9
         ns.seqs_to_viz = 2 if split == "test" else 0
         t0 = time.perf_counter()
         err = inference.main(ns)
@@ -321,6 +340,10 @@ def build_parser():
     p.add_argument("--epochs", type=int, default=200,
                    help="GAN training epochs per config (article: 200)")
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--num_samples", type=int, default=3000,
+                   help="inference sample cap per split (reference "
+                   "inference.py default 3000; its launcher uses 1000; "
+                   "-1 = all windows)")
     p.add_argument("--no_epoch_scan", action="store_true",
                    help="disable the device-resident epoch scan")
     p.add_argument("--skip_raw_smoke", action="store_true")

@@ -107,6 +107,7 @@ def make_r6d_dataset(
     image_dim: int = 2000,
     split_counts: dict | None = None,
     save_image_feats: bool = True,
+    ik_roundtrip: bool = True,
 ):
     """Write processed pickles for all three splits under `data_dir`.
 
@@ -140,8 +141,13 @@ def make_r6d_dataset(
             )
             aa_clips.append((base + wob).astype(np.float32))
         xyz = kinematics.aa_to_xyz(aa_clips, root, bone_len, structure)
-        aa_back = kinematics.xyz_to_aa(xyz, structure)
-        r6d = rotations.aa_to_rot6d(aa_back)
+        # ik_roundtrip maps the angles through IK's canonical form (what
+        # the real pipeline's xyz->aa produces); xyz == FK(aa) holds
+        # either way, so article-scale fixtures skip the costly IK pass
+        aa_final = (
+            kinematics.xyz_to_aa(xyz, structure) if ik_roundtrip else aa_clips
+        )
+        r6d = rotations.aa_to_rot6d(aa_final)
         save_binary(r6d, os.path.join(data_dir, f"r6d_{split}.pkl"))
         save_binary(xyz, os.path.join(data_dir, f"xyz_{split}.pkl"))
 

@@ -276,11 +276,13 @@ def lift_clips(
     # queue): jax dispatch is async, so while batch k's result streams
     # back host<->device, batches k+1..k+depth are already computing.
     # On the tunnel-attached dev chip transfers dominate (TPU_PROBE
-    # "article_lifting": 671 s wall vs 3.3 s compute), so overlapping
+    # "article_lifting": wall >> 3.3 s device compute), so overlapping
     # fetch with compute+staging is the lever; depth is small because
     # each in-flight batch holds its padded inputs + outputs on device.
+    # MHPE_LIFT_PREFETCH=0 restores strictly serial dispatch->fetch
+    # (the A/B control; see STATUS "article_lifting" notes).
     pending: list = []
-    depth = 3
+    depth = int(os.environ.get("MHPE_LIFT_PREFETCH", "3"))
 
     def _drain(entry):
         chunk, res_dev = entry
