@@ -157,10 +157,14 @@ def make_r6d_dataset(
             np.tile(embeds.mean(axis=0), (n, 1)),
             os.path.join(data_dir, f"average_{split}_sentence_embeddings.pkl"),
         )
-        feats = [
-            rng.randn(c.shape[0], image_dim).astype(np.float32) for c in r6d
-        ]
-        save_binary(feats, os.path.join(data_dir, f"{split}_vid_feats.pkl"))
+        if save_image_feats:
+            feats = [
+                rng.randn(c.shape[0], image_dim).astype(np.float32)
+                for c in r6d
+            ]
+            save_binary(
+                feats, os.path.join(data_dir, f"{split}_vid_feats.pkl")
+            )
         categs = [1 + (i % 9) for i in range(n)]
         save_binary(categs, os.path.join(data_dir, f"categs_{split}.pkl"))
         out[split] = dict(n=n)

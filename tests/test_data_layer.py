@@ -96,6 +96,22 @@ def r6d_dataset(tmp_path_factory):
     return str(d)
 
 
+def test_make_r6d_dataset_skips_image_feats(tmp_path):
+    # regression: save_image_feats=False must actually skip the (T, 2000)
+    # vid-feats pickles (at article scale they are ~35 GB of dead weight)
+    d = str(tmp_path / "no_feats")
+    synthetic.make_r6d_dataset(
+        d, n_clips=3, t_range=(40, 60), seed=5,
+        save_image_feats=False, ik_roundtrip=False,
+    )
+    produced = set(os.listdir(d))
+    assert not any("vid_feats" in f for f in produced), produced
+    # everything else in the processed-format contract is still written
+    for stem in ("r6d", "xyz", "categs"):
+        assert f"{stem}_train.pkl" in produced, produced
+    assert "train_sentence_embeddings.pkl" in produced
+
+
 def test_load_windows_pipelines(r6d_dataset):
     for pipeline in ("arm2wh", "arm_wh2wh", "wh2wh", "arm_wh2finger5"):
         p0_size, p1_size = FEATURE_MAP[pipeline]
