@@ -121,6 +121,20 @@ def stage_fixture(args, work):
     return data_dir, {"source": "synthetic", "counts": counts, "wall_s": wall}
 
 
+def _metrics_best_val(metrics_path):
+    """Best (min) validation generator loss recorded in a training
+    metrics JSONL — used to recover a completed train stage's result
+    when resuming without re-running 200 epochs."""
+    best = None
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss_val_gen" in rec:
+                v = float(rec["loss_val_gen"])
+                best = v if best is None else min(best, v)
+    return best
+
+
 def stage_raw_smoke(work):
     """OpenPose JSON tree -> process_dataset --lift -> r6d pickles: the
     raw-data entry of the pipeline, proved end to end at small scale."""
@@ -265,40 +279,101 @@ def stage_mlp_classifier(data_dir, model_dir, args):
             "epochs": ns.num_epochs}
 
 
+def _flush_report(report, out_path):
+    """Atomically persist the report after every stage: multi-hour runs
+    under an external timeout must not lose completed-stage results."""
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(report, f, indent=1)
+    os.replace(tmp, out_path)
+
+
 def main(args):
     work = os.path.abspath(args.work_dir)
     os.makedirs(work, exist_ok=True)
     model_dir = os.path.join(work, "models")
     os.makedirs(model_dir, exist_ok=True)
+    # --resume: reuse stage results from a prior (partial) report, plus
+    # on-disk artifacts (fixture pickles, training checkpoints) from an
+    # interrupted run that never got to write its report
+    prior = {}
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+    prior_cfgs = prior.get("configs", {})
     report = {
         "scale": args.scale if not args.data_dir else "user-data",
         "epochs": args.epochs,
+        "completed": False,
         "article_reference": ARTICLE_REFERENCE,
     }
     t_total = time.perf_counter()
 
     if not args.skip_raw_smoke:
-        report["raw_pipeline_smoke"] = stage_raw_smoke(work)
+        raw_out = os.path.join(work, "raw_processed")
+        if "raw_pipeline_smoke" in prior:
+            report["raw_pipeline_smoke"] = prior["raw_pipeline_smoke"]
+        elif args.resume and os.path.exists(
+            os.path.join(raw_out, "r6d_train.pkl")
+        ):
+            report["raw_pipeline_smoke"] = {
+                "resumed": True, "artifacts": sorted(os.listdir(raw_out))
+            }
+            print("[raw smoke] resumed from on-disk artifacts", flush=True)
+        else:
+            report["raw_pipeline_smoke"] = stage_raw_smoke(work)
+        _flush_report(report, args.out)
 
-    data_dir, fixture_info = stage_fixture(args, work)
+    fixture_pkl = os.path.join(work, "video_data", "r6d_train.pkl")
+    if args.resume and not args.data_dir and os.path.exists(fixture_pkl):
+        data_dir = os.path.join(work, "video_data")
+        fixture_info = {"source": "synthetic", "resumed": True,
+                        "counts": SCALES[args.scale]}
+        print(f"[fixture] resumed from {data_dir}", flush=True)
+    else:
+        data_dir, fixture_info = stage_fixture(args, work)
     report["fixture"] = fixture_info
+    _flush_report(report, args.out)
 
     report["configs"] = {}
     for cfg in CONFIGS:
         entry = {"pipeline": cfg["pipeline"], "model": cfg["model"],
                  "loss": cfg["loss"], "require_text": cfg["require_text"]}
-        entry["train"] = stage_train(cfg, data_dir, model_dir, args)
-        entry["inference"] = stage_infer(cfg, data_dir, model_dir, args)
         report["configs"][cfg["name"]] = entry
+        prior_entry = prior_cfgs.get(cfg["name"], {})
+        ckpt = os.path.join(model_dir, f"lastCheckpoint_{cfg['name']}.pkl")
+        metrics = os.path.join(model_dir, f"metrics_{cfg['name']}.jsonl")
+        if "train" in prior_entry:
+            entry["train"] = prior_entry["train"]
+        elif args.resume and os.path.exists(ckpt) and os.path.exists(metrics):
+            entry["train"] = {
+                "resumed": True, "best_val": _metrics_best_val(metrics),
+                "epochs": args.epochs, "batch_size": args.batch_size,
+                "learning_rate": cfg["learning_rate"],
+            }
+            print(f"[train {cfg['name']}] resumed: best val "
+                  f"{entry['train']['best_val']:.4f} from {metrics}",
+                  flush=True)
+        else:
+            entry["train"] = stage_train(cfg, data_dir, model_dir, args)
+        _flush_report(report, args.out)
+        if "inference" in prior_entry:
+            entry["inference"] = prior_entry["inference"]
+        else:
+            entry["inference"] = stage_infer(cfg, data_dir, model_dir, args)
+        _flush_report(report, args.out)
 
     if not args.skip_classifier:
-        report["classifier"] = {
-            # the article's surrogate eval (§5.2): GT sequences vs the
-            # enhanced sequences written by config A's save_results
-            "ground_truth_r6d": stage_classifier(
+        # the article's surrogate eval (§5.2): GT sequences vs the
+        # enhanced sequences written by config A's save_results
+        cls = report["classifier"] = dict(prior.get("classifier", {}))
+        if "ground_truth_r6d" not in cls:
+            cls["ground_truth_r6d"] = stage_classifier(
                 "gt", data_dir, data_dir, model_dir, args
-            ),
-            "enhanced_r6d": stage_classifier(
+            )
+            _flush_report(report, args.out)
+        if "enhanced_r6d" not in cls:
+            cls["enhanced_r6d"] = stage_classifier(
                 "enhanced",
                 os.path.join(
                     os.path.dirname(model_dir), f"results_{CONFIGS[0]['name']}"
@@ -306,18 +381,19 @@ def main(args):
                 data_dir,
                 model_dir,
                 args,
-            ),
-            "text_mlp": stage_mlp_classifier(data_dir, model_dir, args),
-        }
+            )
+            _flush_report(report, args.out)
+        if "text_mlp" not in cls:
+            cls["text_mlp"] = stage_mlp_classifier(data_dir, model_dir, args)
 
+    report["completed"] = True
     report["total_wall_s"] = time.perf_counter() - t_total
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    _flush_report(report, args.out)
     print(f"\n=== ARTICLE REPLAY DONE in {report['total_wall_s']:.1f}s -> "
           f"{args.out}", flush=True)
     for name, entry in report["configs"].items():
         print(f"  {name}: L1 {entry['inference']['L1']} "
-              f"(train {entry['train']['wall_s']:.1f}s)", flush=True)
+              f"(train {entry['train'].get('wall_s', 0.0):.1f}s)", flush=True)
     if "classifier" in report:
         print(f"  classifier: GT acc "
               f"{report['classifier']['ground_truth_r6d']['best_val_acc']:.3f}"
@@ -346,6 +422,11 @@ def build_parser():
                    "-1 = all windows)")
     p.add_argument("--no_epoch_scan", action="store_true",
                    help="disable the device-resident epoch scan")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse completed stages: prior --out report "
+                   "entries, the on-disk synthetic fixture, and finished "
+                   "training checkpoints (multi-hour article-scale runs "
+                   "survive interruption)")
     p.add_argument("--skip_raw_smoke", action="store_true")
     p.add_argument("--skip_classifier", action="store_true")
     # classifier stage defaults are scaled down from the reference's

@@ -54,6 +54,11 @@ def main(args):
         text_path=text_path,
         require_image=args.require_image,
         image_path=image_path,
+        # only the first num_samples NaN-surviving windows are consumed
+        # (run_inference caps there, mirroring reference inference.py:96);
+        # capping at load time skips equalizing the other ~90% of an
+        # article-scale split — pure host-memory churn otherwise
+        num_samples=args.num_samples,
     )
     test_feats = None
     if args.require_text or args.require_image:

@@ -107,6 +107,39 @@ def make_equal_len(data, pipeline="arm2wh", method="cutting+reflect", maxpad=WIN
     return res
 
 
+def first_valid_window_indices(data, k, feats=None):
+    """Indices of the first ``k`` clips whose 192-frame window (and
+    feature row) would survive ``rmv_clips_nan`` downstream.
+
+    Every pipeline's X/Y blocks jointly cover the full window width
+    (FEATURE_MAP: p0+p1 == 288 or X spans all columns), so a whole-window
+    NaN check is exactly the X-or-Y drop rule.  The window is
+    ``arr[:WINDOW_T]``: clips at least WINDOW_T long are cut there, and
+    shorter clips are reflect-padded, which cannot introduce NaNs.  Feats
+    with a time axis (per-frame image features) are windowed the same way
+    before the check; vector feats (sentence embeddings) are checked whole.
+
+    Used to cap article-scale splits BEFORE the (N, T, D) equalize: when
+    only ``num_samples`` windows are consumed (inference.py:96-123 caps
+    there), materializing the other 90% of a 31k-clip split is pure
+    host-memory churn.
+    """
+    idx = []
+    for i, arr in enumerate(data):
+        if np.isnan(arr[:WINDOW_T]).any():
+            continue
+        if feats is not None:
+            f = np.asarray(feats[i], dtype=np.float32)
+            if f.ndim >= 2:
+                f = f[:WINDOW_T]
+            if np.isnan(f).any():
+                continue
+        idx.append(i)
+        if len(idx) >= k:
+            break
+    return idx
+
+
 def load_windows(
     data_path,
     pipeline,
@@ -119,6 +152,7 @@ def load_windows(
     use_lazy=False,
     test_smpl=False,
     temporal=False,
+    num_samples=None,
 ):
     """Load an r6d pickle, equalize to (N, 192, D) and slice input/output
     feature blocks according to the pipeline.
@@ -131,6 +165,19 @@ def load_windows(
     if not os.path.exists(data_path):
         return None
     data = load_binary(data_path)
+    feats = None
+    if require_text and not require_image:
+        feats = load_binary(text_path)
+    elif require_image and not require_text:
+        feats = load_binary(image_path)
+    if num_samples is not None and len(data) > num_samples:
+        sel = first_valid_window_indices(data, num_samples, feats)
+        data = [data[i] for i in sel]
+        if feats is not None:
+            if isinstance(feats, np.ndarray):
+                feats = feats[np.asarray(sel, dtype=int)]
+            else:
+                feats = [feats[i] for i in sel]
     data = make_equal_len(data, method="cutting+reflect")
     if pipeline in ["arm_wh2wh", "wh2wh"]:
         p0_windows = data[:, :, :]
@@ -141,10 +188,8 @@ def load_windows(
     else:
         raise KeyError(f"unknown pipeline {pipeline}")
     if require_text and not require_image:
-        text_windows = load_binary(text_path)
-        p0_windows = (p0_windows, text_windows)
+        p0_windows = (p0_windows, feats)
     elif require_image and not require_text:
-        image_windows = load_binary(image_path)
-        image_windows = make_equal_len(image_windows, method="cutting+reflect")
-        p0_windows = (p0_windows, image_windows)
+        feats = make_equal_len(feats, method="cutting+reflect")
+        p0_windows = (p0_windows, feats)
     return p0_windows, p1_windows

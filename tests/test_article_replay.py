@@ -38,6 +38,8 @@ def test_article_replay_tiny(tmp_path):
 
     assert os.path.exists(out)
     on_disk = json.load(open(out))
+    # per-stage flushing ends with the completion marker set
+    assert on_disk["completed"] is True
     assert set(on_disk["configs"]) == {
         "arm2wh_v1_L1", "arm_wh2finger1_v2_text_RobustLoss"
     }
@@ -54,3 +56,23 @@ def test_article_replay_tiny(tmp_path):
     # published numbers recorded alongside for the judge/table comparison
     assert on_disk["article_reference"]["table1_arm2wh_L1"]["val"] == 2.38
     assert report["total_wall_s"] > 0
+
+    # --resume with the report present: every stage is reused verbatim
+    args.resume = True
+    resumed = article_replay.main(args)
+    assert resumed["completed"] is True
+    assert resumed["configs"] == on_disk["configs"]
+    assert resumed["classifier"] == on_disk["classifier"]
+
+    # --resume after losing the report (interrupted before first flush):
+    # fixture and finished training are recovered from on-disk artifacts
+    os.remove(out)
+    args.skip_classifier = True
+    recovered = article_replay.main(args)
+    assert recovered["fixture"].get("resumed") is True
+    for entry in recovered["configs"].values():
+        assert entry["train"].get("resumed") is True
+        assert np.isfinite(entry["train"]["best_val"])
+        # inference re-ran against the recovered checkpoints
+        for split in ("train", "val", "test"):
+            assert np.isfinite(entry["inference"]["L1"][split])

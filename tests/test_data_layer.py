@@ -143,6 +143,52 @@ def test_load_windows_with_text_and_image(r6d_dataset):
     assert img.shape == (4, 192, 2000)
 
 
+def test_load_windows_num_samples_cap_equivalence(tmp_path, rng):
+    """The early num_samples cap must select exactly the windows the
+    uncapped load + rmv_clips_nan + [:k] chain would consume."""
+    d = str(tmp_path)
+    n, k, dim = 12, 4, 288
+    lens = [50, 210, 230, 192, 80, 250, 200, 60, 120, 240, 90, 195]
+    clips = [rng.randn(t, dim).astype(np.float32) for t in lens]
+    # NaNs: one inside the window, one beyond frame 192 (kept by the
+    # window rule), one in a text row, one past-window in an image clip
+    clips[1][3, 7] = np.nan
+    clips[2][200:, :] = np.nan
+    text = rng.randn(n, 16).astype(np.float32)
+    text[4, 2] = np.nan
+    imgs = [rng.randn(t, 8).astype(np.float32) for t in lens]
+    # beyond the window: must NOT drop (in-window 3-D feats NaN is quirk
+    # territory — reference rmv_clips_nan misindexes 3-D T; see its doc)
+    imgs[5][195:, 0] = np.nan
+    io.save_binary(clips, os.path.join(d, "r6d_train.pkl"))
+    io.save_binary(text, os.path.join(d, "train_sentence_embeddings.pkl"))
+    io.save_binary(imgs, os.path.join(d, "train_vid_feats.pkl"))
+
+    path = os.path.join(d, "r6d_train.pkl")
+    for kwargs in (
+        {},
+        {"require_text": True,
+         "text_path": os.path.join(d, "train_sentence_embeddings.pkl")},
+        {"require_image": True,
+         "image_path": os.path.join(d, "train_vid_feats.pkl")},
+    ):
+        Xf, Yf = windows.load_windows(path, "arm2wh", **kwargs)
+        Xc, Yc = windows.load_windows(path, "arm2wh", num_samples=k, **kwargs)
+        feats_f = feats_c = None
+        if kwargs:
+            Xf, feats_f = Xf
+            Xc, feats_c = Xc
+            if isinstance(feats_f, list):
+                feats_f = windows.make_equal_len(feats_f)
+        Xf, Yf, feats_f = windows.rmv_clips_nan(Xf, Yf, feats_f)
+        np.testing.assert_array_equal(Xc, Xf[:k])
+        np.testing.assert_array_equal(Yc, Yf[:k])
+        if kwargs:
+            np.testing.assert_array_equal(
+                np.asarray(feats_c), np.asarray(feats_f)[:k]
+            )
+
+
 def test_save_binary_append(tmp_path):
     p = str(tmp_path / "x.pkl")
     io.save_binary([1, 2], p)
