@@ -198,11 +198,18 @@ def stage_train(cfg, data_dir, model_dir, args):
             "learning_rate": cfg["learning_rate"]}
 
 
-def stage_infer(cfg, data_dir, model_dir, args):
+def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None):
     import inference
 
     res = {"L1": {}, "wall_s": {}}
+    if prior:  # --resume: keep already-measured splits
+        res["L1"].update(prior.get("L1", {}))
+        res["wall_s"].update(prior.get("wall_s", {}))
     for split in ("train", "val", "test"):
+        if split in res["L1"]:
+            print(f"[infer {cfg['name']}/{split}] resumed: "
+                  f"L1 {res['L1'][split]:.4f}", flush=True)
+            continue
         ns = inference.build_parser().parse_args([])
         ns.checkpoint = os.path.join(
             model_dir, f"lastCheckpoint_{cfg['name']}.pkl"
@@ -227,6 +234,8 @@ def stage_infer(cfg, data_dir, model_dir, args):
         res["wall_s"][split] = time.perf_counter() - t0
         print(f"[infer {cfg['name']}/{split}] L1 {err:.4f} "
               f"({res['wall_s'][split]:.1f}s)", flush=True)
+        if on_split is not None:
+            on_split(res)
     return res
 
 
@@ -357,10 +366,14 @@ def main(args):
         else:
             entry["train"] = stage_train(cfg, data_dir, model_dir, args)
         _flush_report(report, args.out)
-        if "inference" in prior_entry:
-            entry["inference"] = prior_entry["inference"]
-        else:
-            entry["inference"] = stage_infer(cfg, data_dir, model_dir, args)
+        def _on_split(res, entry=entry):
+            entry["inference"] = res
+            _flush_report(report, args.out)
+
+        entry["inference"] = stage_infer(
+            cfg, data_dir, model_dir, args,
+            prior=prior_entry.get("inference"), on_split=_on_split,
+        )
         _flush_report(report, args.out)
 
     if not args.skip_classifier:

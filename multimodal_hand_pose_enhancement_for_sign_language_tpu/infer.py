@@ -118,6 +118,32 @@ def run_inference(
     return output, mean_err
 
 
+# save_results derives root/bone_len from the FULL train xyz pickle on
+# every call (utils/utils.py:400-410 recomputes them per invocation); the
+# derivation is a pure function of that file, so one in-process memo entry
+# keyed by (path, mtime, size) makes per-split/per-config save_results
+# calls skip the ~GB-scale reload+equalize of a 31k-clip split.  The
+# root.pkl/bone_len.pkl dump-to-cwd file contract is preserved per call.
+_ROOT_BONE_CACHE: dict = {}
+
+
+def _train_root_bone(data_dir, structure):
+    path = os.path.abspath(os.path.join(data_dir, "xyz_train.pkl"))
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _ROOT_BONE_CACHE:
+        xyz_train = load_binary(path)
+        xyz_train = win_lib.make_equal_len(xyz_train, method="cutting+reflect")
+        xyz_train, _, _ = win_lib.rmv_clips_nan(xyz_train)
+        root = kinematics.get_root_bone(xyz_train, structure)
+        bone_len = kinematics.get_bone_length(xyz_train, structure)
+        assert not np.any(np.isnan(root))
+        assert not np.any(np.isnan(bone_len))
+        _ROOT_BONE_CACHE.clear()  # at most one entry; values are tiny
+        _ROOT_BONE_CACHE[key] = (root, bone_len)
+    return _ROOT_BONE_CACHE[key]
+
+
 def save_results(
     input_windows,
     output_windows,
@@ -155,16 +181,9 @@ def save_results(
     save_binary(np.concatenate((input_aa, output_aa), axis=2), filename)
 
     structure = skeleton.get_skeletal_model_structure()
-    xyz_train = load_binary(f"{data_dir}/xyz_train.pkl")
-    xyz_train = win_lib.make_equal_len(xyz_train, method="cutting+reflect")
-    xyz_train, _, _ = win_lib.rmv_clips_nan(xyz_train)
-    root = kinematics.get_root_bone(xyz_train, structure)
-    assert not np.any(np.isnan(root))
+    root, bone_len = _train_root_bone(data_dir, structure)
     with open("root.pkl", "wb") as handle:
         pickle.dump(root, handle, protocol=pickle.HIGHEST_PROTOCOL)
-
-    bone_len = kinematics.get_bone_length(xyz_train, structure)
-    assert not np.any(np.isnan(bone_len))
     with open("bone_len.pkl", "wb") as handle:
         pickle.dump(bone_len, handle, protocol=pickle.HIGHEST_PROTOCOL)
 
