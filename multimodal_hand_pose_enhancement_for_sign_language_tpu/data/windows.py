@@ -107,6 +107,114 @@ def make_equal_len(data, pipeline="arm2wh", method="cutting+reflect", maxpad=WIN
     return res
 
 
+def pipeline_column_slices(pipeline):
+    """(x_cols, y_cols) column slices of the raw window for a pipeline.
+
+    Exactly the slicing rules of ``load_windows`` (reference
+    load_save_utils.py:37-58) expressed as slices, so callers can fill
+    preallocated X/Y blocks without materializing the full-width
+    (N, T, 288) array first.
+    """
+    p0_size, p1_size = FEATURE_MAP[pipeline]
+    if pipeline in ("arm_wh2wh", "wh2wh"):
+        return slice(None), slice(6 * 6, None)
+    if pipeline == "arm2wh" or pipeline[:13] == "arm_wh2finger":
+        return slice(0, p0_size), slice(p0_size, p0_size + p1_size)
+    raise KeyError(f"unknown pipeline {pipeline}")
+
+
+def assemble_windows(data, x_cols, y_cols, check_cols, feats=None,
+                     maxpad=WINDOW_T):
+    """Fused cutting+reflect equalize + pipeline slice + NaN drop.
+
+    Semantically identical to
+
+        w = make_equal_len(data, method="cutting+reflect", maxpad=maxpad)
+        X, Y = w[:, :, x_cols], w[:, :, y_cols]
+        X, Y, feats = rmv_clips_nan(X, Y, feats)
+
+    but fills PREALLOCATED (N_kept, maxpad, ·) output arrays row by row
+    instead of building a 31k-element list of padded copies and then
+    np.array-ing it — on an overcommitted host, fresh transient pages are
+    the bottleneck (STATUS.md round-3 diagnosis), so the final arrays are
+    the only large allocations this path makes.
+
+    ``check_cols`` must be the union of the X and Y column blocks (the
+    caller asserts this via :func:`pipeline_column_slices`): cutting
+    happens BEFORE the NaN check in the legacy path, so a clip is dropped
+    iff its first ``maxpad`` frames contain a NaN in those columns.
+    Reflect padding never introduces NaNs. ``feats`` is an optional
+    per-clip VECTOR feature array/list (sentence embeddings); per-frame
+    image features need the legacy path.
+
+    Returns (X, Y, feats_out, kept_indices).
+    """
+    dtypes = {arr.dtype for arr in data}
+    dtype = np.result_type(*dtypes) if dtypes else np.float32
+    feats_arr = None
+    if feats is not None:
+        feats_arr = feats if isinstance(feats, np.ndarray) else None
+    kept = []
+    for i, arr in enumerate(data):
+        if np.isnan(arr[:maxpad, check_cols]).any():
+            continue
+        frow = feats_arr[i] if feats_arr is not None else (
+            np.asarray(feats[i]) if feats is not None else None
+        )
+        if frow is not None and np.isnan(frow).any():
+            continue
+        kept.append(i)
+
+    width = data[0].shape[1] if data else 0
+    x_width = len(range(*x_cols.indices(width)))
+    y_width = len(range(*y_cols.indices(width)))
+    X = np.empty((len(kept), maxpad, x_width), dtype)
+    Y = np.empty((len(kept), maxpad, y_width), dtype)
+    for j, i in enumerate(kept):
+        arr = data[i]
+        if arr.shape[0] >= maxpad:
+            w = arr[:maxpad]
+        else:
+            w = np.pad(arr, ((0, maxpad - arr.shape[0]), (0, 0)), "reflect")
+        X[j] = w[:, x_cols]
+        Y[j] = w[:, y_cols]
+    feats_out = None
+    if feats is not None:
+        if feats_arr is not None:
+            feats_out = feats_arr[np.asarray(kept, dtype=int)]
+        else:
+            feats_out = np.asarray([feats[i] for i in kept])
+    return X, Y, feats_out, kept
+
+
+def permute_rows_inplace(a, order):
+    """In-place ``a[:] = a[order]`` (leading axis) via cycle-following.
+
+    A fancy index allocates a full second copy of ``a``; this walks the
+    permutation's cycles with a single row-sized buffer instead, so the
+    article-scale shuffle touches no fresh pages.  ``order`` must be a
+    permutation of ``range(len(a))``.
+    """
+    order = np.asarray(order)
+    visited = np.zeros(len(order), dtype=bool)
+    buf = np.empty_like(a[:1][0]) if len(a) else None
+    for start in range(len(order)):
+        if visited[start] or order[start] == start:
+            visited[start] = True
+            continue
+        buf[...] = a[start]
+        j = start
+        while True:
+            visited[j] = True
+            k = int(order[j])
+            if k == start:
+                a[j] = buf
+                break
+            a[j] = a[k]
+            j = k
+    return a
+
+
 def first_valid_window_indices(data, k, feats=None):
     """Indices of the first ``k`` clips whose 192-frame window (and
     feature row) would survive ``rmv_clips_nan`` downstream.
