@@ -135,6 +135,23 @@ def _metrics_best_val(metrics_path):
     return best
 
 
+def _metrics_epochs_done(metrics_path):
+    """Number of training epochs recorded in a metrics JSONL.
+
+    --resume must NOT treat a checkpoint + metrics file as a finished
+    stage (the checkpoint is written DURING training, so an interrupted
+    200-epoch run would silently resume as 'complete'); the stage only
+    counts as done when the log reached the requested epoch count.
+    """
+    last = -1
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "epoch" in rec:
+                last = max(last, int(rec["epoch"]))
+    return last + 1
+
+
 def stage_raw_smoke(work):
     """OpenPose JSON tree -> process_dataset --lift -> r6d pickles: the
     raw-data entry of the pipeline, proved end to end at small scale."""
@@ -198,14 +215,15 @@ def stage_train(cfg, data_dir, model_dir, args):
             "learning_rate": cfg["learning_rate"]}
 
 
-def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None):
+def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None,
+                splits=("train", "val", "test")):
     import inference
 
     res = {"L1": {}, "wall_s": {}}
     if prior:  # --resume: keep already-measured splits
         res["L1"].update(prior.get("L1", {}))
         res["wall_s"].update(prior.get("wall_s", {}))
-    for split in ("train", "val", "test"):
+    for split in splits:
         if split in res["L1"]:
             print(f"[infer {cfg['name']}/{split}] resumed: "
                   f"L1 {res['L1'][split]:.4f}", flush=True)
@@ -239,15 +257,68 @@ def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None):
     return res
 
 
-def stage_classifier(tag, r6d_dir, data_dir, model_dir, args):
-    """LSTM topic classifier on the r6d pickles in `r6d_dir` (GT data dir
-    or a results_{exp} dir); categs come from the fixture `data_dir`."""
+def _selection_indices(res_dir, data_dir, split):
+    """Original clip indices of the result rows in ``res_dir``.
+
+    Inference persists these as sel_indices_{split}.pkl (the num_samples
+    cap + NaN drops make result row j come from clip sel[j], so category
+    labels must be subset with sel to stay aligned — ADVICE r3).  For
+    results written before that file existed, the selection is
+    reconstructed: it is deterministic (the first-N-NaN-surviving-window
+    rule of load_windows/run_inference)."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+        windows as win_lib,
+    )
+
+    p = os.path.join(res_dir, f"sel_indices_{split}.pkl")
+    if os.path.exists(p):
+        return load_binary(p)
+    results = load_binary(os.path.join(res_dir, f"r6d_{split}.pkl"))
+    clips = load_binary(os.path.join(data_dir, f"r6d_{split}.pkl"))
+    sel = win_lib.first_valid_window_indices(clips, len(results))
+    assert len(sel) == len(results), (len(sel), len(results))
+    return sel
+
+
+def _build_gt_subset(data_dir, out_dir, sel):
+    """GT r6d pickles restricted to the SAME clips the enhanced results
+    cover, so the GT-vs-enhanced classifier comparison is like-for-like
+    (same windows, same labels; ADVICE r3)."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+        save_binary,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    for split in ("train", "val"):
+        clips = load_binary(os.path.join(data_dir, f"r6d_{split}.pkl"))
+        save_binary(
+            [clips[i] for i in sel[split]],
+            os.path.join(out_dir, f"r6d_{split}.pkl"),
+        )
+
+
+def stage_classifier(tag, r6d_dir, data_dir, model_dir, args, sel=None):
+    """LSTM topic classifier on the r6d pickles in `r6d_dir` (a GT subset
+    dir or a results_{exp} dir); categs come from the fixture `data_dir`,
+    subset by `sel` (split -> original clip indices) when given so labels
+    stay aligned with capped/NaN-filtered result windows."""
     import classifier_main
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+        save_binary,
+    )
 
     for split in ("train", "val"):
         src = os.path.join(data_dir, f"categs_{split}.pkl")
         dst = os.path.join(r6d_dir, f"categs_{split}.pkl")
-        if os.path.abspath(src) != os.path.abspath(dst):
+        if sel is not None:
+            categs = list(load_binary(src))
+            save_binary([categs[i] for i in sel[split]], dst)
+        elif os.path.abspath(src) != os.path.abspath(dst):
             shutil.copyfile(src, dst)
     ns = classifier_main.build_parser().parse_args([])
     ns.data_dir = r6d_dir
@@ -354,7 +425,12 @@ def main(args):
         metrics = os.path.join(model_dir, f"metrics_{cfg['name']}.jsonl")
         if "train" in prior_entry:
             entry["train"] = prior_entry["train"]
-        elif args.resume and os.path.exists(ckpt) and os.path.exists(metrics):
+        elif (
+            args.resume
+            and os.path.exists(ckpt)
+            and os.path.exists(metrics)
+            and _metrics_epochs_done(metrics) >= args.epochs
+        ):
             entry["train"] = {
                 "resumed": True, "best_val": _metrics_best_val(metrics),
                 "epochs": args.epochs, "batch_size": args.batch_size,
@@ -378,26 +454,107 @@ def main(args):
 
     if not args.skip_classifier:
         # the article's surrogate eval (§5.2): GT sequences vs the
-        # enhanced sequences written by config A's save_results
+        # enhanced sequences written by config A's save_results — on the
+        # SAME window subset with aligned labels (like-for-like)
         cls = report["classifier"] = dict(prior.get("classifier", {}))
+        res_dir = os.path.join(work, f"results_{CONFIGS[0]['name']}")
+        _sel_cache = {}
+
+        def get_sel():
+            if "sel" not in _sel_cache:
+                _sel_cache["sel"] = {
+                    s: _selection_indices(res_dir, data_dir, s)
+                    for s in ("train", "val")
+                }
+                cls["windows"] = {
+                    s: len(_sel_cache["sel"][s]) for s in _sel_cache["sel"]
+                }
+            return _sel_cache["sel"]
+
         if "ground_truth_r6d" not in cls:
+            sel = get_sel()
+            gt_dir = os.path.join(work, "classifier_gt_subset")
+            _build_gt_subset(data_dir, gt_dir, sel)
             cls["ground_truth_r6d"] = stage_classifier(
-                "gt", data_dir, data_dir, model_dir, args
+                "gt", gt_dir, data_dir, model_dir, args, sel=sel
             )
             _flush_report(report, args.out)
         if "enhanced_r6d" not in cls:
             cls["enhanced_r6d"] = stage_classifier(
-                "enhanced",
-                os.path.join(
-                    os.path.dirname(model_dir), f"results_{CONFIGS[0]['name']}"
-                ),
-                data_dir,
-                model_dir,
-                args,
+                "enhanced", res_dir, data_dir, model_dir, args, sel=get_sel()
+            )
+            _flush_report(report, args.out)
+        if (
+            args.reference_classifier
+            and "enhanced_r6d_reference_config" not in cls
+        ):
+            # the reference's OWN hyperparameters
+            # (H2Sclassifier/Train_Test/main.py:143-160: hidden 1024 x
+            # 10 layers x bidirectional), auto-remat keeps it inside a
+            # 16 GB chip; epochs reduced via --reference_classifier_epochs
+            rargs = argparse.Namespace(**vars(args))
+            rargs.classifier_hidden = 1024
+            rargs.classifier_layers = 10
+            rargs.classifier_bidir = True
+            rargs.classifier_epochs = args.reference_classifier_epochs
+            cls["enhanced_r6d_reference_config"] = stage_classifier(
+                "enhanced_refcfg", res_dir, data_dir, model_dir, rargs,
+                sel=get_sel(),
             )
             _flush_report(report, args.out)
         if "text_mlp" not in cls:
             cls["text_mlp"] = stage_mlp_classifier(data_dir, model_dir, args)
+            _flush_report(report, args.out)
+
+    if args.fingers:
+        # the incremental finger-masking trend (article Table 2; the
+        # launcher sweeps fingers 1..10, launch_exp_incr_fingers.sh:10):
+        # one v2+text RobustLoss run per masked-finger count K, val/test
+        # L1 recorded as the Table-2-shaped series.  Runs at
+        # --finger_epochs (reduced from 200: the trend, not the absolute
+        # numbers, is the object) and resumes per-K.
+        ks = [int(k) for k in args.fingers.replace("..", ",").split(",") if k]
+        trend = report["finger_trend"] = dict(prior.get("finger_trend", {}))
+        report["finger_trend_epochs"] = args.finger_epochs
+        targs = argparse.Namespace(**vars(args))
+        targs.epochs = args.finger_epochs
+        for k in ks:
+            key = str(k)
+            entry = dict(trend.get(key, {}))
+            trend[key] = entry
+            cfg = dict(
+                name=f"arm_wh2finger{k}_v2_text_RobustLoss_trend",
+                model="v2", pipeline=f"arm_wh2finger{k}", loss="RobustLoss",
+                require_text=True, learning_rate=1e-3,
+            )
+            ckpt = os.path.join(model_dir, f"lastCheckpoint_{cfg['name']}.pkl")
+            metrics = os.path.join(model_dir, f"metrics_{cfg['name']}.jsonl")
+            if "train" not in entry:
+                if (
+                    args.resume
+                    and os.path.exists(ckpt)
+                    and os.path.exists(metrics)
+                    and _metrics_epochs_done(metrics) >= targs.epochs
+                ):
+                    entry["train"] = {
+                        "resumed": True,
+                        "best_val": _metrics_best_val(metrics),
+                        "epochs": targs.epochs,
+                    }
+                else:
+                    entry["train"] = stage_train(cfg, data_dir, model_dir, targs)
+                _flush_report(report, args.out)
+
+            def _on_split(res, entry=entry):
+                entry["inference"] = res
+                _flush_report(report, args.out)
+
+            entry["inference"] = stage_infer(
+                cfg, data_dir, model_dir, args,
+                prior=entry.get("inference"), on_split=_on_split,
+                splits=("val", "test"),
+            )
+            _flush_report(report, args.out)
 
     report["completed"] = True
     report["total_wall_s"] = time.perf_counter() - t_total
@@ -442,6 +599,13 @@ def build_parser():
                    "survive interruption)")
     p.add_argument("--skip_raw_smoke", action="store_true")
     p.add_argument("--skip_classifier", action="store_true")
+    p.add_argument("--fingers", type=str, default="",
+                   help="comma list of masked-finger counts for the "
+                   "incremental-masking trend (article Table 2 / "
+                   "launch_exp_incr_fingers.sh:10), e.g. '1,2,3,4,5'; "
+                   "each K trains arm_wh2fingerK (v2+text RobustLoss) "
+                   "at --finger_epochs and records val/test L1")
+    p.add_argument("--finger_epochs", type=int, default=50)
     # classifier stage defaults are scaled down from the reference's
     # (hidden 1024 x 10 bidir layers x 200 epochs would add hours at
     # article scale); pass the reference values explicitly to reproduce
@@ -451,6 +615,12 @@ def build_parser():
     p.add_argument("--classifier_hidden", type=int, default=256)
     p.add_argument("--classifier_layers", type=int, default=2)
     p.add_argument("--classifier_bidir", action="store_true")
+    p.add_argument("--reference_classifier", action="store_true",
+                   help="ALSO train the enhanced-r6d classifier at the "
+                   "reference's own config (hidden 1024 x 10 layers x "
+                   "bidir, H2Sclassifier/Train_Test/main.py:143-160; "
+                   "auto-remat) at --reference_classifier_epochs")
+    p.add_argument("--reference_classifier_epochs", type=int, default=20)
     return p
 
 

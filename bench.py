@@ -57,12 +57,20 @@ PRECISION = "tensorfloat32"  # cheapest budget-passing point (see module doc)
 RECORDED_CPU_BASELINE = 31_000.0
 
 
-def measure_tpu(n_devices: int = 1):
+def measure_tpu(n_devices: int = 1, max_attempts: int = None,
+                spread_gate: float = None):
     """Median-of-REPS throughput (frames/sec/chip).  With n_devices > 1,
     the batch is DP-sharded over a ('data',) mesh — the weak-scaling
     measurement path for real multi-chip hardware (each chip gets the
     same per-chip batch B, so perfect scaling reports a flat
-    frames/s/chip).  Returns (median, spread_fraction)."""
+    frames/s/chip).  Returns (median, spread_fraction, attempts).
+
+    Thrash defense (VERDICT r3: the round-3 official capture ran during
+    a host-memory-thrash episode and recorded 5.6M fr/s with spread 3.7
+    vs the same day's clean 22M at spread 0.01): a measurement set whose
+    (max-min)/median spread exceeds ``spread_gate`` is re-measured up to
+    ``max_attempts`` times (re-warmed each time), and the cleanest set
+    (minimum spread) is reported together with the attempt count."""
     import jax
     import jax.numpy as jnp
 
@@ -95,16 +103,57 @@ def measure_tpu(n_devices: int = 1):
         mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
         x = jax.device_put(x, NamedSharding(mesh, P("data")))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    if max_attempts is None:
+        max_attempts = int(os.environ.get("MHPE_BENCH_ATTEMPTS", 4))
+    if spread_gate is None:
+        spread_gate = float(os.environ.get("MHPE_BENCH_SPREAD_GATE", 0.2))
     f = jax.jit(many)
     float(f(variables, x))  # compile + warm (scalar fetch syncs the tunnel)
-    times = []
-    for _ in range(REPS):
-        t0 = time.time()
-        float(f(variables, x))
-        times.append((time.time() - t0) / K)
-    med = float(np.median(times))
-    spread = float((max(times) - min(times)) / med)
-    return b_total * T / med / n_devices, spread
+    sets = []
+    for attempt in range(max_attempts):
+        if attempt:
+            float(f(variables, x))  # re-warm after a dirty set
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            float(f(variables, x))
+            times.append((time.time() - t0) / K)
+        med = float(np.median(times))
+        spread = float((max(times) - min(times)) / med)
+        sets.append((spread, med))
+        if spread <= spread_gate:
+            break
+    spread, med = min(sets)  # cleanest set
+    return b_total * T / med / n_devices, spread, len(sets)
+
+
+def tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe device availability in a SUBPROCESS with a hard timeout.
+
+    With the axon tunnel down, the first jax.devices() blocks forever in
+    the plugin's claim-retry loop — in-process there is no way to give
+    up.  A bench that hangs produces NO artifact; a bench that reports
+    the outage produces an honest one.  CPU-only configs skip the probe
+    (nothing to claim)."""
+    import subprocess
+
+    platforms = os.environ.get("JAX_PLATFORMS", "axon,cpu")
+    if "axon" not in platforms and "tpu" not in platforms:
+        return True
+    code = (
+        "import jax, numpy as np\n"
+        "jax.devices()\n"
+        "print(float(np.asarray(jax.numpy.ones((8, 8)).sum())))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def measure_torch_baseline() -> float:
@@ -141,24 +190,50 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    frames_per_sec, spread = measure_tpu(args.devices)
+    if not tpu_reachable():
+        # one parseable JSON line even when the device pool is gone
+        print(
+            json.dumps(
+                {
+                    "metric": "enhancement_throughput",
+                    "value": 0.0,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "tpu unreachable (axon tunnel down); "
+                    "see STATUS.md for the last clean measurement",
+                    "baseline_recorded": RECORDED_CPU_BASELINE,
+                    "devices": args.devices,
+                }
+            )
+        )
+        return
+
+    frames_per_sec, spread, attempts = measure_tpu(args.devices)
     baseline_live = measure_torch_baseline()
+    # a thrashing host can also corrupt the LIVE torch baseline (r3:
+    # 788.9 fr/s vs the same host's pinned 31,000 — 40x low, which would
+    # inflate vs_baseline 40x); when the live number is implausibly far
+    # below the pinned record, the pinned one is the honest denominator
+    baseline_degraded = baseline_live < 0.5 * RECORDED_CPU_BASELINE
+    denom = RECORDED_CPU_BASELINE if baseline_degraded else baseline_live
     print(
         json.dumps(
             {
                 "metric": "enhancement_throughput",
                 "value": round(frames_per_sec, 1),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(frames_per_sec / baseline_live, 2),
+                "vs_baseline": round(frames_per_sec / denom, 2),
                 # provenance: live vs pinned baseline + measurement noise,
                 # so round-over-round deltas are interpretable
                 "baseline_live": round(baseline_live, 1),
+                "baseline_degraded": baseline_degraded,
                 "baseline_recorded": RECORDED_CPU_BASELINE,
                 "vs_baseline_recorded": round(
                     frames_per_sec / RECORDED_CPU_BASELINE, 2
                 ),
                 "reps": REPS,
                 "spread": round(spread, 3),
+                "attempts": attempts,
                 "devices": args.devices,
             }
         )

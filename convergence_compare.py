@@ -117,7 +117,7 @@ def torch_robust_criterion(dout, T):
 
 def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
               default_size, epochs_train_disc=3, seed=23456, loss="L1",
-              model="v1", train_F=None, val_F=None):
+              model="v1", train_F=None, val_F=None, dropout_rate=None):
     """The reference loop, faithfully: train_gan.py:102-121 schedule,
     :215-254 D step, :258-297 G step (incl. the RobustLoss branch
     :286-292), :312-340 val at batch//2."""
@@ -128,6 +128,13 @@ def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
     require_text = True if train_F is not None else None
     gen, disc = torch_models(din, dout, default_size, seed, model=model,
                              require_text=require_text)
+    if dropout_rate is not None:
+        # A/B knob: the reference hard-codes Dropout(0.5); overriding p
+        # on both sides isolates the dropout-stream divergence from any
+        # real numeric drift (VERDICT r3 weak #4)
+        for mod in list(gen.modules()) + list(disc.modules()):
+            if isinstance(mod, nn.Dropout):
+                mod.p = dropout_rate
     init_sd = {k: v.clone() for k, v in gen.state_dict().items()}
     init_d_sd = {k: v.clone() for k, v in disc.state_dict().items()}
     # only generator.parameters() enter Adam (train_gan.py:69): the
@@ -217,7 +224,8 @@ def run_torch(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
 
 def run_jax(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
             default_size, init_sd, init_d_sd, epochs_train_disc=3,
-            seed=23456, loss="L1", model="v1", train_F=None, val_F=None):
+            seed=23456, loss="L1", model="v1", train_F=None, val_F=None,
+            dropout_rate=None):
     """GanTrainer with the same ported initial weights and the same
     shared shuffle stream."""
     import jax
@@ -238,6 +246,7 @@ def run_jax(train_X, train_Y, val_X, val_Y, epochs, batch_size, lr,
         batch_size=batch_size, learning_rate=lr, loss=loss,
         epochs_train_disc=epochs_train_disc,
         require_text=train_F is not None,
+        **({} if dropout_rate is None else {"dropout_rate": dropout_rate}),
     )
     tr = GanTrainer(cfg)
     state = tr.init_state()
@@ -283,7 +292,7 @@ CONFIGS = {
 
 
 def compare(epochs=50, n=128, T=32, din=12, dout=24, batch_size=16,
-            lr=1e-4, default_size=32, config="v1_l1"):
+            lr=1e-4, default_size=32, config="v1_l1", dropout_rate=None):
     spec = CONFIGS[config]
     train_X, train_Y, val_X, val_Y, train_F, val_F = make_windows(
         n, T, din, dout, with_feats=spec["with_feats"]
@@ -291,11 +300,12 @@ def compare(epochs=50, n=128, T=32, din=12, dout=24, batch_size=16,
     t_hist, init_sd, init_d_sd = run_torch(
         train_X, train_Y, val_X, val_Y, epochs, batch_size, lr, default_size,
         loss=spec["loss"], model=spec["model"], train_F=train_F, val_F=val_F,
+        dropout_rate=dropout_rate,
     )
     j_hist = run_jax(
         train_X, train_Y, val_X, val_Y, epochs, batch_size, lr, default_size,
         init_sd, init_d_sd, loss=spec["loss"], model=spec["model"],
-        train_F=train_F, val_F=val_F,
+        train_F=train_F, val_F=val_F, dropout_rate=dropout_rate,
     )
     k = max(1, min(5, len(t_hist["val"])))
     t_final = float(np.mean(t_hist["val"][-k:]))
@@ -306,6 +316,7 @@ def compare(epochs=50, n=128, T=32, din=12, dout=24, batch_size=16,
         "model": spec["model"],
         "loss": spec["loss"],
         "epochs": epochs,
+        "dropout_rate": dropout_rate,
         "torch_train": t_hist["train"], "jax_train": j_hist["train"],
         "torch_val": t_hist["val"], "jax_val": j_hist["val"],
         "torch_disc": t_hist["disc"], "jax_disc": j_hist["disc"],
@@ -330,6 +341,13 @@ def main():
         choices=sorted(CONFIGS), help="which corners to run ('all' via "
         "listing them); results are keyed by config in --out",
     )
+    p.add_argument(
+        "--dropout_rate", type=float, default=None,
+        help="override BOTH sides' dropout p (the reference hard-codes "
+        "0.5).  0.0 is the A/B that isolates dropout-stream divergence "
+        "from real numeric drift; results are keyed "
+        "'{config}_dropout{p}' so the default record is kept",
+    )
     args = p.parse_args()
     # merge into an existing record so corners can be (re)run separately
     all_res = {}
@@ -342,8 +360,12 @@ def main():
         ) else {"v1_l1": prev}
     for config in args.configs:
         res = compare(epochs=args.epochs, n=args.n,
-                      batch_size=args.batch_size, config=config)
-        all_res[config] = res
+                      batch_size=args.batch_size, config=config,
+                      dropout_rate=args.dropout_rate)
+        key = config if args.dropout_rate is None else (
+            f"{config}_dropout{args.dropout_rate:g}"
+        )
+        all_res[key] = res
         print(json.dumps({k: v for k, v in res.items()
                           if not isinstance(v, list)}, indent=1))
     with open(args.out, "w") as f:

@@ -47,7 +47,7 @@ def main(args):
     else:
         text_path = f"{args.data_dir}/average_{args.infer_set}_sentence_embeddings.pkl"
     image_path = f"{args.data_dir}/{args.infer_set}_vid_feats.pkl"
-    test_X, test_Y = win_lib.load_windows(
+    test_X, test_Y, orig_idx = win_lib.load_windows(
         r6d_path,
         pipeline,
         require_text=args.require_text,
@@ -59,11 +59,14 @@ def main(args):
         # capping at load time skips equalizing the other ~90% of an
         # article-scale split — pure host-memory churn otherwise
         num_samples=args.num_samples,
+        return_indices=True,
     )
     test_feats = None
     if args.require_text or args.require_image:
         test_feats = test_X[1]
         test_X = test_X[0]
+    dropped = win_lib.nan_clip_indices(test_X, test_Y, test_feats)
+    orig_idx = np.delete(np.asarray(orig_idx, dtype=int), dropped)
     test_X, test_Y, test_feats = win_lib.rmv_clips_nan(test_X, test_Y, test_feats)
     assert not np.any(np.isnan(test_X)) and not np.any(np.isnan(test_Y))
     print(f"test_X.shape, test_Y.shape: {test_X.shape}, {test_Y.shape}", flush=True)
@@ -137,6 +140,21 @@ def main(args):
         tag=args.exp_name,
         infer_set=args.infer_set,
     )
+    # persist which ORIGINAL clips the result rows correspond to: the
+    # num_samples cap + NaN drops make row j of the results pickles come
+    # from clip orig_idx[j] of the split, so per-clip metadata (category
+    # labels, text) must be subset with these indices to stay aligned
+    if xyz_path:
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+            save_binary,
+        )
+
+        save_binary(
+            [int(i) for i in orig_idx[: output.shape[0]]],
+            os.path.join(
+                os.path.dirname(xyz_path), f"sel_indices_{args.infer_set}.pkl"
+            ),
+        )
     print("Saved results.", flush=True)
 
     # viz (+ artifact upload, the reference's wandb.save at

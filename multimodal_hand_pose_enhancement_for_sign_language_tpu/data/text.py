@@ -237,6 +237,20 @@ def obtain_embeddings(
     raise ValueError(f"unknown text embedding method {method!r}")
 
 
+def average_embeds(embeds) -> np.ndarray:
+    """The ``--embeds_type average`` pickle derived from already-computed
+    per-clip embeddings: the dataset column mean tiled per clip.
+
+    The reference's obtain_avg_embed (proc_text.py:133-139) re-runs the
+    encoder over the split and then tiles the mean; the mean is
+    order-invariant over the same clip set, so deriving it from the
+    persisted normal embeddings is equivalent and skips a second encoder
+    pass.  process_dataset writes this next to the normal pickle so
+    train_gan/inference ``--embeds_type average`` work out of the box."""
+    embeds = np.asarray(embeds)
+    return np.tile(np.average(embeds, axis=0), (embeds.shape[0], 1))
+
+
 def obtain_avg_embed(
     file_path: str,
     ids,

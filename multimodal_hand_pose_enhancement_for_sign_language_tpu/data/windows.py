@@ -24,10 +24,10 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.utils.constants impo
 )
 
 
-def rmv_clips_nan(X, Y=None, T=None):
-    """Drop clips (leading-axis entries) containing any NaN in X, Y or T.
+def nan_clip_indices(X, Y=None, T=None):
+    """Sorted leading-axis indices that ``rmv_clips_nan`` would drop.
 
-    Reference: postprocess_utils.py:5-28.
+    Reference: postprocess_utils.py:5-28 (the index-computation half).
     """
     idx_nan = np.argwhere(np.isnan(X).any(axis=(1, 2))).squeeze().tolist()
     if isinstance(idx_nan, int):
@@ -45,7 +45,15 @@ def rmv_clips_nan(X, Y=None, T=None):
         if isinstance(idx_nan_T, int):
             idx_nan_T = [idx_nan_T]
         idx_nan += idx_nan_T
-    idx_nan = sorted(set(idx_nan))
+    return sorted(set(idx_nan))
+
+
+def rmv_clips_nan(X, Y=None, T=None):
+    """Drop clips (leading-axis entries) containing any NaN in X, Y or T.
+
+    Reference: postprocess_utils.py:5-28.
+    """
+    idx_nan = nan_clip_indices(X, Y, T)
     X = np.delete(X, idx_nan, axis=0)
     if Y is not None:
         Y = np.delete(Y, idx_nan, axis=0)
@@ -261,6 +269,7 @@ def load_windows(
     test_smpl=False,
     temporal=False,
     num_samples=None,
+    return_indices=False,
 ):
     """Load an r6d pickle, equalize to (N, 192, D) and slice input/output
     feature blocks according to the pipeline.
@@ -278,6 +287,7 @@ def load_windows(
         feats = load_binary(text_path)
     elif require_image and not require_text:
         feats = load_binary(image_path)
+    sel = list(range(len(data)))  # original clip index of each row
     if num_samples is not None and len(data) > num_samples:
         sel = first_valid_window_indices(data, num_samples, feats)
         data = [data[i] for i in sel]
@@ -300,4 +310,9 @@ def load_windows(
     elif require_image and not require_text:
         feats = make_equal_len(feats, method="cutting+reflect")
         p0_windows = (p0_windows, feats)
+    if return_indices:
+        # original clip index of each returned row, BEFORE any downstream
+        # rmv_clips_nan — consumers that persist per-window results use
+        # this to subset aligned per-clip metadata (e.g. category labels)
+        return p0_windows, p1_windows, sel
     return p0_windows, p1_windows

@@ -281,8 +281,12 @@ def lift_clips(
     # each in-flight batch holds its padded inputs + outputs on device.
     # MHPE_LIFT_PREFETCH=0 restores strictly serial dispatch->fetch
     # (the A/B control; see STATUS "article_lifting" notes).
+    # Default 0 (serial): the only article-scale measurement with the
+    # queue on was ~75% slower than the serial run (TPU_PROBE
+    # "r3_overlap_rerun" 1176s vs 671s — ADVICE r3), so overlap is
+    # opt-in until tpu_lift_prefetch_ab.py records an interleaved win.
     pending: list = []
-    depth = int(os.environ.get("MHPE_LIFT_PREFETCH", "3"))
+    depth = int(os.environ.get("MHPE_LIFT_PREFETCH", "0"))
 
     def _drain(entry):
         chunk, res_dev = entry
@@ -325,6 +329,31 @@ def _atomic_save(obj, filename: str) -> None:
     os.replace(tmp, final)
 
 
+class _CheckpointWriter(threading.Thread):
+    """Background `_atomic_save` whose failures surface at join().
+
+    A bare Thread only prints write errors (disk full, ...) through the
+    default excepthook: join() returns normally, the lifting loop keeps
+    reporting progress, and a later --resume silently restarts from an
+    older on-disk prefix.  Here join() re-raises the writer's exception
+    so a failed checkpoint write aborts the run loudly."""
+
+    def __init__(self, obj, filename):
+        super().__init__(target=_atomic_save, args=(obj, filename))
+        self.exc = None
+
+    def run(self):
+        try:
+            super().run()
+        except BaseException as e:  # re-raised at join()
+            self.exc = e
+
+    def join(self, timeout=None):
+        super().join(timeout)
+        if self.exc is not None:
+            raise self.exc
+
+
 def lift_2d_to_3d(
     feats,
     filename: str = "feats_3d",
@@ -363,9 +392,7 @@ def lift_2d_to_3d(
             feats_3d = feats_3d + lifted
             if writer is not None:
                 writer.join()
-            writer = threading.Thread(
-                target=_atomic_save, args=(feats_3d, filename)
-            )
+            writer = _CheckpointWriter(feats_3d, filename)
             writer.start()
             print(f"LIFTED {int((i + 1) / nPartitions * 100)}%", flush=True)
     finally:

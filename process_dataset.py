@@ -99,6 +99,14 @@ def process_split(args, split: str):
                 np.asarray(embeds),
                 os.path.join(args.data_dir, f"{split}_sentence_embeddings.pkl"),
             )
+            # the --embeds_type average variant (proc_text.py:133-139)
+            save_binary(
+                text_lib.average_embeds(embeds),
+                os.path.join(
+                    args.data_dir,
+                    f"average_{split}_sentence_embeddings.pkl",
+                ),
+            )
 
     # categories
     categ_path = args.categ_path_template.format(split=split)

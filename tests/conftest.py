@@ -8,7 +8,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE (not setdefault): the sandbox exports JAX_PLATFORMS=axon, and
+# root CLIs call utils.platform.ensure_platform_from_env(), which
+# re-applies the ENV value to jax.config mid-test — with the TPU tunnel
+# down that hangs every jax.devices() in an infinite claim-retry loop.
+# Tests are CPU-hermetic by contract (CLAUDE.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -32,6 +32,12 @@ def test_article_replay_tiny(tmp_path):
             "--work_dir", str(tmp_path / "work"),
             "--out", out,
             "--skip_raw_smoke",
+            # the Table-2 trend + reference-config classifier paths, at
+            # tiny scale (launch_exp_incr_fingers.sh:10 sweeps 1..10)
+            "--fingers", "1,2",
+            "--finger_epochs", "2",
+            "--reference_classifier",
+            "--reference_classifier_epochs", "1",
         ]
     )
     report = article_replay.main(args)
@@ -47,12 +53,26 @@ def test_article_replay_tiny(tmp_path):
         for split in ("train", "val", "test"):
             assert np.isfinite(entry["inference"]["L1"][split])
         assert entry["train"]["wall_s"] > 0
-    # the surrogate eval ran on both GT and enhanced sequences + text MLP
+    # the surrogate eval ran on both GT and enhanced sequences + text MLP,
+    # like-for-like: both see the same window subset ("windows" counts)
     assert set(on_disk["classifier"]) == {
-        "ground_truth_r6d", "enhanced_r6d", "text_mlp"
+        "ground_truth_r6d", "enhanced_r6d", "enhanced_r6d_reference_config",
+        "text_mlp", "windows",
     }
-    for rec in on_disk["classifier"].values():
+    for key, rec in on_disk["classifier"].items():
+        if key == "windows":
+            assert rec["train"] > 0 and rec["val"] > 0
+            continue
         assert 0.0 <= rec["best_val_acc"] <= 1.0
+    # reference hyperparameters actually reached the classifier stage
+    refcfg = on_disk["classifier"]["enhanced_r6d_reference_config"]
+    assert refcfg["hidden"] == 1024 and refcfg["layers"] == 10
+    # the Table-2-shaped finger-masking trend: one val/test L1 per K
+    assert set(on_disk["finger_trend"]) == {"1", "2"}
+    for entry in on_disk["finger_trend"].values():
+        assert np.isfinite(entry["train"]["best_val"])
+        for split in ("val", "test"):
+            assert np.isfinite(entry["inference"]["L1"][split])
     # published numbers recorded alongside for the judge/table comparison
     assert on_disk["article_reference"]["table1_arm2wh_L1"]["val"] == 2.38
     assert report["total_wall_s"] > 0
@@ -63,6 +83,7 @@ def test_article_replay_tiny(tmp_path):
     assert resumed["completed"] is True
     assert resumed["configs"] == on_disk["configs"]
     assert resumed["classifier"] == on_disk["classifier"]
+    assert resumed["finger_trend"] == on_disk["finger_trend"]
 
     # --resume after losing the report (interrupted before first flush):
     # fixture and finished training are recovered from on-disk artifacts

@@ -140,6 +140,39 @@ def test_assemble_windows_matches_legacy_composition():
     assert kept == [1, 2, 3, 5]
 
 
+def test_embeds_type_average_load_path(nan_fixture, tmp_path):
+    """--embeds_type average consumes average_{split}_sentence_embeddings
+    (proc_text.py:133-139): every surviving clip's feature row is the
+    dataset column mean, and NaN drops track the r6d clips only (the
+    averaged rows are NaN-free by construction)."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+        text as text_lib,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+
+    out = data_lib.load_data(
+        nan_fixture, "arm_wh2finger1", str(tmp_path / "avg"), "e",
+        np.random.RandomState(23456), require_text=True,
+        embeds_type="average",
+    )
+    avg = np.asarray(
+        load_binary(os.path.join(
+            nan_fixture, "average_train_sentence_embeddings.pkl"
+        ))
+    )
+    # r6d clips 1 and 3 carry NaNs -> 10 of 12 survive (the averaged
+    # rows have no NaN, unlike the normal embeds whose row 5 does)
+    assert out["train_feats"].shape == (10, avg.shape[1])
+    assert np.allclose(out["train_feats"], avg[0])
+    # the helper matches the reference's mean+tile contract
+    e = np.random.RandomState(3).randn(7, 5).astype(np.float32)
+    a = text_lib.average_embeds(e)
+    assert a.shape == e.shape
+    assert np.allclose(a, np.tile(np.average(e, axis=0), (7, 1)))
+
+
 def test_permute_rows_inplace_equals_fancy_index():
     rng = np.random.RandomState(9)
     for n, shape in ((1, (3,)), (2, (4, 5)), (37, (6, 7)), (128, (2,))):

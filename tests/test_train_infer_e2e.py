@@ -89,6 +89,45 @@ def test_train_robust_loss_and_label_smooth(workdir, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_infer_embeds_type_average(workdir, monkeypatch):
+    """--embeds_type average trains and infers end-to-end off the
+    average_{split}_sentence_embeddings pickles (the launcher's other
+    sweep axis; reference proc_text.py:133-139, train_gan --embeds_type)."""
+    monkeypatch.chdir(workdir)
+    args = _train_args(
+        workdir,
+        model="v2",
+        pipeline="arm_wh2finger1",
+        require_text=True,
+        embeds_type="average",
+        exp_name="e2e_avg",
+        num_epochs=2,
+    )
+    best = train_cli.main(args)
+    assert np.isfinite(best)
+    iargs = inference_cli.build_parser().parse_args([])
+    iargs.checkpoint = os.path.join(workdir, "models", "e2e_avg_checkpoint.pkl")
+    iargs.base_path = str(workdir)
+    iargs.data_dir = os.path.join(workdir, "video_data")
+    iargs.exp_name = "e2e_avg"
+    iargs.model = "v2"
+    iargs.pipeline = "arm_wh2finger1"
+    iargs.require_text = True
+    iargs.embeds_type = "average"
+    iargs.batch_size = 4
+    iargs.seqs_to_viz = 0
+    err = inference_cli.main(iargs)
+    assert np.isfinite(err)
+    # result rows map back to original clips (sel_indices contract)
+    sel = load_binary(
+        os.path.join(workdir, "results_e2e_avg", "sel_indices_test.pkl")
+    )
+    r6d = load_binary(os.path.join(workdir, "results_e2e_avg", "r6d_test.pkl"))
+    assert len(sel) == r6d.shape[0]
+    assert sorted(set(sel)) == sel  # strictly increasing original indices
+
+
+@pytest.mark.slow
 def test_train_infer_image_conditioned_b2h(workdir, monkeypatch):
     monkeypatch.chdir(workdir)
     args = _train_args(
