@@ -207,6 +207,18 @@ def test_obtain_embeddings_flax_route(tmp_path, rng):
     )
     assert word.shape[0] == 2 and word.shape[-1] == 16
 
+    # the --embeds_type average variant through the SAME encoder
+    # (proc_text.py:133-139: sort ids, encode, tile the column mean) —
+    # ids passed unsorted to cover the sort, oracle from the torch ref
+    avg = text.obtain_avg_embed(
+        str(tf), ["clipB-utt01", "clipA-utt01"], method="BERTsentence",
+        weights_path=str(d),
+    )
+    assert avg.shape == (2, 16)
+    np.testing.assert_allclose(avg, np.tile(ref.mean(0), (2, 1)), atol=2e-5)
+    # and the persisted-embeddings derivation is equivalent
+    np.testing.assert_allclose(avg, text.average_embeds(emb), atol=2e-5)
+
 
 def test_clip_vision_encoder_matches_hf(rng):
     from transformers import CLIPVisionConfig
