@@ -369,6 +369,11 @@ def _flush_report(report, out_path):
 
 
 def main(args):
+    # the driver loads the SAME train/val r6d pickles once per config
+    # (2 canonical + the finger-trend sweep); cache them read-only
+    # across configs (train/data._load_clips_cached) — on this host
+    # redundant multi-GB pickle loads cost minutes each (STATUS.md)
+    os.environ.setdefault("MHPE_LOAD_DATA_CACHE", "1")
     work = os.path.abspath(args.work_dir)
     os.makedirs(work, exist_ok=True)
     model_dir = os.path.join(work, "models")

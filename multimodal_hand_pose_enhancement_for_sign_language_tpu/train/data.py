@@ -61,6 +61,36 @@ def fetch_split(
     return p0, p1, None
 
 
+# Opt-in read-only cache of loaded r6d clip pickles, keyed by file
+# identity.  The article-replay driver loads the SAME train/val pickles
+# once per config (2 canonical + 5 finger-trend configs = 7 multi-GB
+# pickle loads at article scale); on an overcommitted host where fresh
+# page faults are the bottleneck (STATUS.md round-3 diagnosis) each
+# redundant load costs minutes.  Enabled with MHPE_LOAD_DATA_CACHE=1
+# (article_replay.py sets it); cached arrays are marked read-only so any
+# would-be mutation raises instead of corrupting a later config's data.
+_CLIPS_CACHE: dict = {}
+_CLIPS_CACHE_MAX = 4  # train+val r6d pickles, with slack
+
+
+def _load_clips_cached(path: str):
+    if os.environ.get("MHPE_LOAD_DATA_CACHE") != "1":
+        return load_binary(path)
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    if key not in _CLIPS_CACHE:
+        data = load_binary(path)
+        if isinstance(data, list) and all(
+            isinstance(a, np.ndarray) for a in data
+        ):
+            for a in data:
+                a.flags.writeable = False
+        while len(_CLIPS_CACHE) >= _CLIPS_CACHE_MAX:
+            _CLIPS_CACHE.pop(next(iter(_CLIPS_CACHE)))
+        _CLIPS_CACHE[key] = data
+    return _CLIPS_CACHE[key]
+
+
 def _fetch_split_fused(
     data_dir, split, pipeline, require_text, embeds_type, base_path
 ):
@@ -76,7 +106,7 @@ def _fetch_split_fused(
     path = os.path.join(base_path, os.path.join(data_dir, DATA_PATHS_r6d[split]))
     if not os.path.exists(path):
         return None
-    data = load_binary(path)
+    data = _load_clips_cached(path)
     if not all(
         isinstance(arr, np.ndarray) and arr.dtype == np.float32 for arr in data
     ):

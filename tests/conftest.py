@@ -50,3 +50,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _no_clips_cache_leak():
+    """article_replay.main() enables MHPE_LOAD_DATA_CACHE process-wide;
+    keep both the flag and the cache contents from leaking across tests."""
+    yield
+    if os.environ.pop("MHPE_LOAD_DATA_CACHE", None) is not None:
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.train import (
+            data as _train_data,
+        )
+
+        _train_data._CLIPS_CACHE.clear()

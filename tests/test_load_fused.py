@@ -182,3 +182,42 @@ def test_permute_rows_inplace_equals_fancy_index():
         want = a[order]
         got = win_lib.permute_rows_inplace(a.copy(), order)
         assert np.array_equal(want, got)
+
+
+def test_clips_cache_across_pipelines(nan_fixture, tmp_path, monkeypatch):
+    """MHPE_LOAD_DATA_CACHE=1 (set by article_replay.py across its 7
+    same-pickle config loads) loads each r6d pickle ONCE, returns results
+    bitwise equal to the uncached path, and freezes the cached clips so a
+    would-be mutation raises instead of corrupting a later config."""
+    uncached = {
+        pl: data_lib.load_data(
+            nan_fixture, pl, str(tmp_path / f"u{pl}"), "exp",
+            np.random.RandomState(23456), assemble="fused",
+        )
+        for pl in ("arm2wh", "arm_wh2finger1")
+    }
+
+    monkeypatch.setenv("MHPE_LOAD_DATA_CACHE", "1")
+    monkeypatch.setattr(data_lib, "_CLIPS_CACHE", {})
+    calls = []
+    real_load = data_lib.load_binary
+    monkeypatch.setattr(
+        data_lib, "load_binary",
+        lambda p: (calls.append(p), real_load(p))[1],
+    )
+    for pl in ("arm2wh", "arm_wh2finger1"):
+        got = data_lib.load_data(
+            nan_fixture, pl, str(tmp_path / f"c{pl}"), "exp",
+            np.random.RandomState(23456), assemble="fused",
+        )
+        for key in ("train_X", "train_Y", "val_X", "val_Y"):
+            assert np.array_equal(uncached[pl][key], got[key]), (pl, key)
+    r6d_loads = [p for p in calls if "r6d_" in os.path.basename(p)]
+    assert len(r6d_loads) == 2, r6d_loads  # train+val once, not per config
+    (clips,) = [
+        v for k, v in data_lib._CLIPS_CACHE.items() if "train" in k[0]
+    ][:1] or [None]
+    assert clips is not None
+    with pytest.raises(ValueError):
+        clips[0][0, 0] = 1.0  # frozen: read-only guard
+    data_lib._CLIPS_CACHE.clear()
