@@ -36,12 +36,19 @@ def host_fingerprint() -> str:
     import platform as plat
 
     txt = plat.machine()
+    # flags alone are NOT enough: two host generations with identical
+    # cpuinfo flags can differ in LLVM's model-specific tuning features
+    # (e.g. prefer-no-scatter/gather), and XLA loads such foreign AOT
+    # entries with only a warning — so key on the CPU model identity too.
+    wanted = ("flags", "Features", "cpu family", "model", "stepping")
     try:
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":", 1)[0].strip()
+                if key.startswith(wanted) and key not in seen:
+                    seen.add(key)
                     txt += line
-                    break
     except OSError:
         pass
     return hashlib.sha1(txt.encode()).hexdigest()[:10]
