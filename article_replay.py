@@ -511,6 +511,12 @@ def main(args):
             cls["text_mlp"] = stage_mlp_classifier(data_dir, model_dir, args)
             _flush_report(report, args.out)
 
+    # Tables 1 + §5.2 are done at this point; the finger trend below is
+    # additive.  Record that separately so a run cut off mid-trend (e.g.
+    # by a wall-clock deadline) still reports the core result honestly.
+    report["core_completed"] = True
+    _flush_report(report, args.out)
+
     if args.fingers:
         # the incremental finger-masking trend (article Table 2; the
         # launcher sweeps fingers 1..10, launch_exp_incr_fingers.sh:10):
