@@ -1,0 +1,84 @@
+#!/bin/bash
+# Round-4 recovery chain, v2 (the /tmp-based v1 died with a sandbox restart).
+# Runs DETACHED (setsid) so it survives driver session restarts; guards
+# against duplicate launches with a repo-local pidfile; waits for the axon
+# tunnel, then runs the heavy TPU chain serially (single-core host):
+#   1. article replay --resume  (config-2 train + classifiers + finger trend)
+#   2. lift prefetch A/B        (ADVICE r3 low: record the interleaved result)
+#   3. article lifting rerun    (VERDICT r3 #8: post-fix load path)
+#   4. bench sanity
+# Every stage is timeout-capped; the replay is retried (it is --resume-safe)
+# so a mid-run tunnel drop costs one attempt, not the round.
+cd /root/repo || exit 1
+LOG=/root/repo/article_replay_work_r4.log
+PIDFILE=/root/repo/.r4_chain.pid
+
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
+  echo "$(date -u +%H:%M:%S) chain already running (pid $(cat "$PIDFILE")); exiting" >> "$LOG"
+  exit 0
+fi
+echo $$ > "$PIDFILE"
+
+HEAVY_DEADLINE=${HEAVY_DEADLINE:-$(( $(date +%s) + 34200 ))}   # default now+9.5h
+left() { echo $(( HEAVY_DEADLINE - $(date +%s) )); }
+probe() {
+  timeout 240 python - <<'EOF'
+import jax, numpy as np
+d = jax.devices()
+print(float(np.asarray(jax.numpy.ones((64, 64)).sum())), d, flush=True)
+EOF
+}
+wait_tunnel() {  # returns 0 when up, 1 when deadline passed
+  while true; do
+    if probe >> "$LOG" 2>&1; then
+      echo "$(date -u +%H:%M:%S) tunnel OK" >> "$LOG"; sleep 10; return 0
+    fi
+    echo "$(date -u +%H:%M:%S) tunnel still down" >> "$LOG"
+    [ "$(left)" -lt 600 ] && return 1
+    sleep 120
+  done
+}
+
+echo "$(date -u +%H:%M:%S) chain v2 start (pid $$, heavy deadline $(date -u -d @$HEAVY_DEADLINE +%H:%M:%S))" >> "$LOG"
+
+# --- stage 1: article replay (retry loop; --resume makes attempts cheap) ---
+ATTEMPT=0
+while [ "$ATTEMPT" -lt 6 ] && [ "$(left)" -gt 900 ]; do
+  ATTEMPT=$(( ATTEMPT + 1 ))
+  wait_tunnel || break
+  T=$(left); CAP=$(( T < 14400 ? T : 14400 ))
+  echo "$(date -u +%H:%M:%S) === stage 1 attempt $ATTEMPT: article replay resume (cap ${CAP}s) ===" >> "$LOG"
+  timeout "$CAP" python article_replay.py --scale article \
+    --work_dir /root/repo/article_replay_work --out ARTICLE_REPLAY.json --resume \
+    --fingers 1,2,3,4,5 --finger_epochs 50 \
+    --reference_classifier --reference_classifier_epochs 20 \
+    >> "$LOG" 2>&1
+  RC=$?
+  echo "$(date -u +%H:%M:%S) replay attempt $ATTEMPT rc=$RC" >> "$LOG"
+  [ "$RC" -eq 0 ] && break
+done
+
+# --- stage 2: lift prefetch A/B ---
+if [ "$(left)" -gt 600 ] && wait_tunnel; then
+  T=$(left); CAP=$(( T < 2400 ? T : 2400 ))
+  echo "$(date -u +%H:%M:%S) === stage 2: lift prefetch A/B (cap ${CAP}s) ===" >> "$LOG"
+  timeout "$CAP" python tpu_lift_prefetch_ab.py 4000 2 >> "$LOG" 2>&1
+  echo "$(date -u +%H:%M:%S) ab rc=$?" >> "$LOG"
+fi
+
+# --- stage 3: article lifting rerun through the fixed load path ---
+if [ "$(left)" -gt 600 ] && wait_tunnel; then
+  T=$(left); CAP=$(( T < 3000 ? T : 3000 ))
+  echo "$(date -u +%H:%M:%S) === stage 3: article lifting rerun (cap ${CAP}s) ===" >> "$LOG"
+  timeout "$CAP" python tpu_article_lifting.py >> "$LOG" 2>&1
+  echo "$(date -u +%H:%M:%S) lifting rc=$?" >> "$LOG"
+fi
+
+# --- stage 4: bench sanity ---
+if wait_tunnel; then
+  echo "$(date -u +%H:%M:%S) === stage 4: bench sanity ===" >> "$LOG"
+  timeout 1800 python bench.py >> "$LOG" 2>&1
+  echo "$(date -u +%H:%M:%S) bench rc=$?" >> "$LOG"
+fi
+echo "$(date -u +%H:%M:%S) === CHAIN DONE ===" >> "$LOG"
+rm -f "$PIDFILE"
