@@ -42,6 +42,10 @@ wait_tunnel() {  # returns 0 when up, 1 when deadline passed
 echo "$(date -u +%H:%M:%S) chain v2 start (pid $$, heavy deadline $(date -u -d @$HEAVY_DEADLINE +%H:%M:%S))" >> "$LOG"
 
 # --- stage 1: article replay (retry loop; --resume makes attempts cheap) ---
+# A mid-run tunnel drop makes the FIRST device op block forever in the
+# plugin's claim-retry loop; a log-mtime watchdog kills stalled attempts
+# (threshold 2400s: big-graph compiles through the tunnel take minutes,
+# and the longest silent host phase — a 31k-clip load — is ~10 min).
 ATTEMPT=0
 while [ "$ATTEMPT" -lt 6 ] && [ "$(left)" -gt 900 ]; do
   ATTEMPT=$(( ATTEMPT + 1 ))
@@ -52,8 +56,18 @@ while [ "$ATTEMPT" -lt 6 ] && [ "$(left)" -gt 900 ]; do
     --work_dir /root/repo/article_replay_work --out ARTICLE_REPLAY.json --resume \
     --fingers 1,2,3,4,5 --finger_epochs 50 \
     --reference_classifier --reference_classifier_epochs 20 \
-    >> "$LOG" 2>&1
-  RC=$?
+    >> "$LOG" 2>&1 &
+  RPID=$!
+  while kill -0 "$RPID" 2>/dev/null; do
+    sleep 120
+    AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$AGE" -gt 2400 ]; then
+      echo "$(date -u +%H:%M:%S) attempt $ATTEMPT stalled ${AGE}s; killing" >> "$LOG"
+      kill "$RPID" 2>/dev/null; sleep 10; kill -9 "$RPID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$RPID"; RC=$?
   echo "$(date -u +%H:%M:%S) replay attempt $ATTEMPT rc=$RC" >> "$LOG"
   [ "$RC" -eq 0 ] && break
 done
