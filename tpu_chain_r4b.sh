@@ -1,17 +1,20 @@
 #!/bin/bash
-# Round-4 recovery chain, v2 (the /tmp-based v1 died with a sandbox restart).
-# Runs DETACHED (setsid) so it survives driver session restarts; guards
-# against duplicate launches with a repo-local pidfile; waits for the axon
-# tunnel, then runs the heavy TPU chain serially (single-core host):
-#   1. article replay --resume  (config-2 train + classifiers + finger trend)
-#   2. lift prefetch A/B        (ADVICE r3 low: record the interleaved result)
-#   3. article lifting rerun    (VERDICT r3 #8: post-fix load path)
-#   4. bench sanity
-# Every stage is timeout-capped; the replay is retried (it is --resume-safe)
-# so a mid-run tunnel drop costs one attempt, not the round.
+# Round-4 recovery chain, v3.
+#
+# v1 died with a sandbox restart (/tmp state); v2 probed the tunnel before
+# each stage — and the probe itself turned out to be the poison: a probe
+# that successfully CLAIMS the terminal and is then killed at interpreter
+# teardown leaves a stale server-side lease (~30 min), so the next claimer
+# blocks, looks "down", and the cycle repeats forever.
+#
+# v3 never probes. Each stage process IS the claimer: if the terminal is
+# free it proceeds; if not, it blocks in the plugin's claim-retry loop and
+# a log-mtime watchdog kills it after STALL_S (no stale lease: a blocked
+# claimer never acquired one). --resume makes replay attempts idempotent.
 cd /root/repo || exit 1
 LOG=/root/repo/article_replay_work_r4.log
 PIDFILE=/root/repo/.r4_chain.pid
+STALL_S=2400   # > biggest silent phase: 31k-clip load ~10 min, big compiles ~minutes
 
 if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
   echo "$(date -u +%H:%M:%S) chain already running (pid $(cat "$PIDFILE")); exiting" >> "$LOG"
@@ -21,78 +24,57 @@ echo $$ > "$PIDFILE"
 
 HEAVY_DEADLINE=${HEAVY_DEADLINE:-$(( $(date +%s) + 34200 ))}   # default now+9.5h
 left() { echo $(( HEAVY_DEADLINE - $(date +%s) )); }
-probe() {
-  timeout 240 python - <<'EOF'
-import jax, numpy as np
-d = jax.devices()
-print(float(np.asarray(jax.numpy.ones((64, 64)).sum())), d, flush=True)
-EOF
-}
-wait_tunnel() {  # returns 0 when up, 1 when deadline passed
-  while true; do
-    if probe >> "$LOG" 2>&1; then
-      echo "$(date -u +%H:%M:%S) tunnel OK" >> "$LOG"; sleep 10; return 0
-    fi
-    echo "$(date -u +%H:%M:%S) tunnel still down" >> "$LOG"
-    [ "$(left)" -lt 600 ] && return 1
-    sleep 120
-  done
-}
 
-echo "$(date -u +%H:%M:%S) chain v2 start (pid $$, heavy deadline $(date -u -d @$HEAVY_DEADLINE +%H:%M:%S))" >> "$LOG"
-
-# --- stage 1: article replay (retry loop; --resume makes attempts cheap) ---
-# A mid-run tunnel drop makes the FIRST device op block forever in the
-# plugin's claim-retry loop; a log-mtime watchdog kills stalled attempts
-# (threshold 2400s: big-graph compiles through the tunnel take minutes,
-# and the longest silent host phase — a 31k-clip load — is ~10 min).
-ATTEMPT=0
-while [ "$ATTEMPT" -lt 6 ] && [ "$(left)" -gt 900 ]; do
-  ATTEMPT=$(( ATTEMPT + 1 ))
-  wait_tunnel || break
-  T=$(left); CAP=$(( T < 14400 ? T : 14400 ))
-  echo "$(date -u +%H:%M:%S) === stage 1 attempt $ATTEMPT: article replay resume (cap ${CAP}s) ===" >> "$LOG"
-  timeout "$CAP" python article_replay.py --scale article \
-    --work_dir /root/repo/article_replay_work --out ARTICLE_REPLAY.json --resume \
-    --fingers 1,2,3,4,5 --finger_epochs 50 \
-    --reference_classifier --reference_classifier_epochs 20 \
-    >> "$LOG" 2>&1 &
-  RPID=$!
+# run_watched <cap_s> <label> <cmd...>: run capped, kill if LOG goes stale.
+run_watched() {
+  local CAP=$1 LABEL=$2; shift 2
+  echo "$(date -u +%H:%M:%S) === $LABEL (cap ${CAP}s) ===" >> "$LOG"
+  timeout "$CAP" "$@" >> "$LOG" 2>&1 &
+  local RPID=$!
   while kill -0 "$RPID" 2>/dev/null; do
-    sleep 120
-    AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    if [ "$AGE" -gt 2400 ]; then
-      echo "$(date -u +%H:%M:%S) attempt $ATTEMPT stalled ${AGE}s; killing" >> "$LOG"
+    sleep 60
+    local AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$AGE" -gt "$STALL_S" ]; then
+      echo "$(date -u +%H:%M:%S) $LABEL stalled ${AGE}s; killing" >> "$LOG"
       kill "$RPID" 2>/dev/null; sleep 10; kill -9 "$RPID" 2>/dev/null
       break
     fi
   done
-  wait "$RPID"; RC=$?
-  echo "$(date -u +%H:%M:%S) replay attempt $ATTEMPT rc=$RC" >> "$LOG"
-  [ "$RC" -eq 0 ] && break
+  wait "$RPID"; local RC=$?
+  echo "$(date -u +%H:%M:%S) $LABEL rc=$RC" >> "$LOG"
+  return $RC
+}
+
+echo "$(date -u +%H:%M:%S) chain v3 start (pid $$, heavy deadline $(date -u -d @$HEAVY_DEADLINE +%H:%M:%S))" >> "$LOG"
+
+# --- stage 1: article replay (config-2 train + classifiers + finger trend) ---
+ATTEMPT=0
+while [ "$(left)" -gt 900 ]; do
+  ATTEMPT=$(( ATTEMPT + 1 ))
+  T=$(left); CAP=$(( T < 14400 ? T : 14400 ))
+  if run_watched "$CAP" "stage1-replay-attempt$ATTEMPT" \
+      python article_replay.py --scale article \
+      --work_dir /root/repo/article_replay_work --out ARTICLE_REPLAY.json --resume \
+      --fingers 1,2,3,4,5 --finger_epochs 50 \
+      --reference_classifier --reference_classifier_epochs 20; then
+    break
+  fi
+  sleep 60
 done
 
-# --- stage 2: lift prefetch A/B ---
-if [ "$(left)" -gt 600 ] && wait_tunnel; then
-  T=$(left); CAP=$(( T < 2400 ? T : 2400 ))
-  echo "$(date -u +%H:%M:%S) === stage 2: lift prefetch A/B (cap ${CAP}s) ===" >> "$LOG"
-  timeout "$CAP" python tpu_lift_prefetch_ab.py 4000 2 >> "$LOG" 2>&1
-  echo "$(date -u +%H:%M:%S) ab rc=$?" >> "$LOG"
+# --- stage 2: lift prefetch A/B (ADVICE r3: record the interleaved result) ---
+if [ "$(left)" -gt 600 ]; then
+  T=$(left); run_watched $(( T < 2400 ? T : 2400 )) "stage2-prefetch-ab" \
+    python tpu_lift_prefetch_ab.py 4000 2
 fi
 
 # --- stage 3: article lifting rerun through the fixed load path ---
-if [ "$(left)" -gt 600 ] && wait_tunnel; then
-  T=$(left); CAP=$(( T < 3000 ? T : 3000 ))
-  echo "$(date -u +%H:%M:%S) === stage 3: article lifting rerun (cap ${CAP}s) ===" >> "$LOG"
-  timeout "$CAP" python tpu_article_lifting.py >> "$LOG" 2>&1
-  echo "$(date -u +%H:%M:%S) lifting rc=$?" >> "$LOG"
+if [ "$(left)" -gt 600 ]; then
+  T=$(left); run_watched $(( T < 3000 ? T : 3000 )) "stage3-lifting-rerun" \
+    python tpu_article_lifting.py
 fi
 
 # --- stage 4: bench sanity ---
-if wait_tunnel; then
-  echo "$(date -u +%H:%M:%S) === stage 4: bench sanity ===" >> "$LOG"
-  timeout 1800 python bench.py >> "$LOG" 2>&1
-  echo "$(date -u +%H:%M:%S) bench rc=$?" >> "$LOG"
-fi
+run_watched 1800 "stage4-bench" python bench.py
 echo "$(date -u +%H:%M:%S) === CHAIN DONE ===" >> "$LOG"
 rm -f "$PIDFILE"
