@@ -25,6 +25,12 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.windows import 
     rmv_clips_nan,
 )
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import load_binary
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.staging import (
+    Staged,
+    as_staged,
+    flatten_rows,
+    unflatten_batch,
+)
 
 # optimizer registry (reference hyperparameters.py:4-6)
 OPTIMIZERS = {
@@ -152,9 +158,13 @@ class ClassifierTrainer:
         # per-step host->device batch transfers (28 MB/step at the
         # reference-default B=128 x T=192 x D=288)
         self._train_step_idx = jax.jit(
-            self._train_step_idx_impl, donate_argnums=(0, 1)
+            self._train_step_idx_impl,
+            donate_argnums=(0, 1),
+            static_argnames=("trail",),
         )
-        self._eval_step_idx = jax.jit(self._eval_step_idx_impl)
+        self._eval_step_idx = jax.jit(
+            self._eval_step_idx_impl, static_argnames=("trail",)
+        )
 
     def init_state(self, rng, sample_x):
         params = self.module.init({"params": rng}, jnp.asarray(sample_x), False)[
@@ -191,15 +201,18 @@ class ClassifierTrainer:
         pred = jnp.argmax(logits, axis=-1)
         return loss, jnp.sum(pred == labels), pred
 
-    def _train_step_idx_impl(self, params, opt_state, X, Y, idx, rng):
+    def _train_step_idx_impl(self, params, opt_state, X, Y, idx, rng, trail=None):
         return self._train_step_impl(
             params, opt_state,
-            jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0), rng,
+            unflatten_batch(jnp.take(X, idx, axis=0), trail),
+            jnp.take(Y, idx, axis=0), rng,
         )
 
-    def _eval_step_idx_impl(self, params, X, Y, idx):
+    def _eval_step_idx_impl(self, params, X, Y, idx, trail=None):
         return self._eval_step_impl(
-            params, jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0)
+            params,
+            unflatten_batch(jnp.take(X, idx, axis=0), trail),
+            jnp.take(Y, idx, axis=0),
         )
 
     # ------------------------------------------------------------------
@@ -207,8 +220,15 @@ class ClassifierTrainer:
         """Upload the dataset to device memory once (labels pre-shifted
         to 0-based).  Use with the *_resident epoch loops; the per-epoch
         shuffle then composes index permutations on the host instead of
-        re-uploading data."""
-        return jnp.asarray(X), jnp.asarray(np.asarray(Y) - 1)
+        re-uploading data.  X is staged FLATTENED to (N, T*D) — zero
+        lane-tile padding and no in-program relayout copy on TPU (see
+        train/staging.py) — and each gathered batch is reshaped back to
+        (B, T, D) inside the jitted step."""
+        flat, trail = flatten_rows(X)
+        return (
+            Staged(jax.device_put(jnp.asarray(flat)), trail),
+            jnp.asarray(np.asarray(Y) - 1),
+        )
 
     # ------------------------------------------------------------------
     def train_epoch(self, params, opt_state, X, Y, batch_size, rng_key):
@@ -233,13 +253,14 @@ class ClassifierTrainer:
         """train_epoch over staged device arrays: only (B,)-int index
         vectors cross the host boundary per step.  Identical math to
         train_epoch on X[order] (labels already shifted by stage())."""
+        dX = as_staged(dX)
         n_batches = len(order) // batch_size
         losses, acc = [], 0
         for bi in range(n_batches):
             idx = jnp.asarray(order[bi * batch_size : (bi + 1) * batch_size])
             rng_key, sub = jax.random.split(rng_key)
             params, opt_state, loss, a = self._train_step_idx(
-                params, opt_state, dX, dY, idx, sub
+                params, opt_state, dX.dev, dY, idx, sub, trail=dX.trail
             )
             losses.append(float(loss))
             acc += int(a)
@@ -247,12 +268,15 @@ class ClassifierTrainer:
         return params, opt_state, losses, acc / denom, rng_key
 
     def val_epoch_resident(self, params, dX, dY, batch_size):
-        n_batches = int(dX.shape[0]) // batch_size
+        dX = as_staged(dX)
+        n_batches = int(dX.dev.shape[0]) // batch_size
         total_loss, acc = 0.0, 0
         GT, predY = [], []
         for bi in range(n_batches):
             idx = jnp.arange(bi * batch_size, (bi + 1) * batch_size)
-            loss, a, pred = self._eval_step_idx(params, dX, dY, idx)
+            loss, a, pred = self._eval_step_idx(
+                params, dX.dev, dY, idx, trail=dX.trail
+            )
             total_loss += float(loss)
             acc += int(a)
             GT += np.asarray(jnp.take(dY, idx, axis=0)).tolist()

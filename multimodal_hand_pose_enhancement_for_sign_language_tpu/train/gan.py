@@ -42,6 +42,11 @@ from multimodal_hand_pose_enhancement_for_sign_language_tpu.losses.robust import
 )
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.models import registry
 from multimodal_hand_pose_enhancement_for_sign_language_tpu.parallel import mesh as mesh_lib
+from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.staging import (
+    Staged as _Staged,
+    as_staged,
+    flatten_rows,
+)
 
 
 def calc_motion(tensor_btd):
@@ -157,7 +162,7 @@ class GanTrainer:
         self._epoch_scan_resident = {
             kind: jax.jit(
                 functools.partial(self._epoch_scan_resident_impl, kind=kind),
-                static_argnames=("has_feats", "batch_size"),
+                static_argnames=("has_feats", "batch_size", "trails"),
                 donate_argnums=(0,) if kind != "val" else (),
             )
             for kind in ("g", "d", "val")
@@ -418,7 +423,8 @@ class GanTrainer:
         return state, jnp.mean(losses)
 
     def _epoch_scan_resident_impl(
-        self, state, X, Y, F, perm, has_feats: bool, batch_size: int, kind: str
+        self, state, X, Y, F, perm, has_feats: bool, batch_size: int,
+        trails, kind: str
     ):
         """Device-resident epoch scan: the dataset lives in HBM across
         epochs; only the shuffle permutation (N int32s) crosses the host
@@ -426,16 +432,32 @@ class GanTrainer:
         the scan body (B*T*D per step), so peak HBM is dataset + one
         batch — not dataset + a full shuffled copy; at article scale
         (31K x 192 x 288 f32 ~ 6.9 GB) that halves residency and fits a
-        single v5e chip with headroom."""
+        single v5e chip with headroom.
+
+        X/Y/F arrive FLATTENED to (N, prod(trail)) — see stage() — and
+        each gathered batch is reshaped back to (B,) + trail in the body.
+        Rationale (round-4 OOM post-mortem): a resident (31128, 192, 264)
+        f32 operand tiles its 264-wide lane axis up to 384 on TPU (1.5x,
+        8.55 GB vs 5.88 GB) AND forces an in-program relayout copy next
+        to the 6.6 GB argument buffers — 16.4 GB > 15.75 GB HBM.  The
+        flat (N, 192*264) form has a lane width that is an exact multiple
+        of 128 (192 is 64*3, so T*D is lane-exact for any even D): zero
+        tile padding, no relayout, and only the (B,)-sized batch pays the
+        per-step reshape."""
+        x_trail, y_trail, f_trail = trails
         nb = X.shape[0] // batch_size
         perm_b = perm[: nb * batch_size].reshape(nb, batch_size)
 
         step = {"g": self._g_step_impl, "d": self._d_step_impl}.get(kind)
 
         def body(st, idx):
-            x = jnp.take(X, idx, axis=0)
-            y = jnp.take(Y, idx, axis=0)
-            f = jnp.take(F, idx, axis=0) if has_feats else None
+            x = jnp.take(X, idx, axis=0).reshape((batch_size,) + x_trail)
+            y = jnp.take(Y, idx, axis=0).reshape((batch_size,) + y_trail)
+            f = (
+                jnp.take(F, idx, axis=0).reshape((batch_size,) + f_trail)
+                if has_feats
+                else None
+            )
             if kind == "val":
                 return st, self._val_step_impl(st, x, y, f)
             return step(st, x, y, f)
@@ -446,32 +468,44 @@ class GanTrainer:
     def stage(self, X, Y, feats=None):
         """Move the full (N, T, D) dataset to device memory once (sharded
         over the mesh 'data' axis when available) for resident epoch
-        scans."""
+        scans.  Arrays are staged FLATTENED to (N, T*D): on TPU the flat
+        lane axis tiles exactly (192*D is a multiple of 128 for even D)
+        where the 3-D form pads D up to the next 128 multiple — at
+        article scale that is the difference between 5.9 GB and 8.6 GB
+        of HBM residency plus a full relayout copy (the round-4 config-2
+        OOM).  Returns _Staged(dev, trail) records; run_epoch_resident
+        reshapes each gathered batch back to (B,) + trail on device."""
         def put(a):
             if a is None:
                 return None
-            a = jnp.asarray(a)
+            a, trail = flatten_rows(a)
             if self.mesh is not None and self.mesh.devices.size > 1:
                 n_data = self.mesh.shape["data"]
                 if a.shape[0] % n_data == 0:
-                    return mesh_lib.shard_batch(a, self.mesh)
-            return jax.device_put(a)
+                    return _Staged(mesh_lib.shard_batch(a, self.mesh), trail)
+            return _Staged(jax.device_put(a), trail)
 
         return put(X), put(Y), put(feats)
 
     def run_epoch_resident(self, state, X_dev, Y_dev, F_dev, perm, kind, batch_size):
         """Epoch over staged device data with a host-provided permutation
         (pass np.arange(N) for no shuffle, e.g. validation)."""
-        if X_dev.shape[0] // batch_size == 0:
+        X_dev, Y_dev, F_dev = as_staged(X_dev), as_staged(Y_dev), as_staged(F_dev)
+        if X_dev.dev.shape[0] // batch_size == 0:
             return state, 0.0
         state, loss = self._epoch_scan_resident[kind](
             state,
-            X_dev,
-            Y_dev,
-            F_dev,
+            X_dev.dev,
+            Y_dev.dev,
+            F_dev.dev if F_dev is not None else None,
             jnp.asarray(perm),
             has_feats=F_dev is not None,
             batch_size=batch_size,
+            trails=(
+                X_dev.trail,
+                Y_dev.trail,
+                F_dev.trail if F_dev is not None else None,
+            ),
         )
         return state, float(loss)
 
