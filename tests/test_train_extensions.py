@@ -179,3 +179,31 @@ def test_step_timer():
     for _ in range(3):
         t.tick()
     assert t.summary()["steps"] == 2
+
+
+def test_stage_flattens_resident_datasets(rng):
+    """Resident staging keeps datasets FLAT (N, T*D) on device — zero
+    lane-tile padding and no in-program relayout copy at article scale
+    (the round-4 config-2 HBM OOM).  run_epoch_resident must reshape
+    batches back and still match the non-resident epoch bitwise."""
+    cfg = GanConfig(**TINY)
+    tr = GanTrainer(cfg)
+    X = rng.randn(8, cfg.window_t, cfg.feature_in_dim).astype(np.float32)
+    Y = rng.randn(8, cfg.window_t, cfg.feature_out_dim).astype(np.float32)
+    dX, dY, dF = tr.stage(X, Y, None)
+    assert dX.dev.ndim == 2 and dX.dev.shape == (8, cfg.window_t * cfg.feature_in_dim)
+    assert dX.trail == (cfg.window_t, cfg.feature_in_dim)
+    assert dY.dev.ndim == 2 and dF is None
+
+    s1 = tr.init_state()
+    s2 = tr.init_state()
+    order = np.arange(8)
+    s1, l_res = tr.run_epoch_resident(s1, dX, dY, dF, order, "g", 4)
+    s2, l_pln = tr.run_epoch_scanned(s2, X, Y, None, "g", 4)
+    np.testing.assert_allclose(l_res, l_pln, rtol=0, atol=1e-6)
+    # legacy raw-array callers still work (as_staged wraps them)
+    s3 = tr.init_state()
+    s3, l_raw = tr.run_epoch_resident(
+        s3, jnp.asarray(X), jnp.asarray(Y), None, order, "g", 4
+    )
+    np.testing.assert_allclose(l_raw, l_pln, rtol=0, atol=1e-6)
