@@ -223,11 +223,33 @@ def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None,
     if prior:  # --resume: keep already-measured splits
         res["L1"].update(prior.get("L1", {}))
         res["wall_s"].update(prior.get("wall_s", {}))
+
+    # A split only counts as resumable if its save_results artifacts are
+    # still on disk: downstream stages (classifier surrogate eval) read
+    # the r6d result pickles, so a report entry whose files were lost
+    # (e.g. a cleaned work dir from an earlier round) must re-run, not
+    # skip — otherwise the classifier stage crashes on a missing pickle.
+    res_dir = os.path.join(
+        os.path.dirname(model_dir), f"results_{cfg['name']}"
+    )
+
+    def _artifacts_ok(split):
+        return all(
+            os.path.exists(os.path.join(res_dir, f"{k}_{split}.pkl"))
+            for k in ("r6d", "aa", "xyz")
+        )
+
     for split in splits:
         if split in res["L1"]:
-            print(f"[infer {cfg['name']}/{split}] resumed: "
-                  f"L1 {res['L1'][split]:.4f}", flush=True)
-            continue
+            if _artifacts_ok(split):
+                print(f"[infer {cfg['name']}/{split}] resumed: "
+                      f"L1 {res['L1'][split]:.4f}", flush=True)
+                continue
+            print(f"[infer {cfg['name']}/{split}] report has L1 "
+                  f"{res['L1'][split]:.4f} but result pickles are "
+                  f"missing from {res_dir} — re-running", flush=True)
+            res["L1"].pop(split, None)
+            res["wall_s"].pop(split, None)
         ns = inference.build_parser().parse_args([])
         ns.checkpoint = os.path.join(
             model_dir, f"lastCheckpoint_{cfg['name']}.pkl"
@@ -428,11 +450,24 @@ def main(args):
         prior_entry = prior_cfgs.get(cfg["name"], {})
         ckpt = os.path.join(model_dir, f"lastCheckpoint_{cfg['name']}.pkl")
         metrics = os.path.join(model_dir, f"metrics_{cfg['name']}.jsonl")
-        if "train" in prior_entry:
+        stats_npz = os.path.join(
+            model_dir,
+            f"{cfg['name']}{cfg['pipeline']}_preprocess_core.npz",
+        )
+        # Inference needs the checkpoint AND the standardization stats
+        # npz on disk — a prior-report train entry whose files were lost
+        # (cleaned work dir from an earlier round) must re-train, not be
+        # trusted, or every downstream stage crashes on a missing file.
+        train_artifacts_ok = os.path.exists(ckpt) and os.path.exists(stats_npz)
+        if "train" in prior_entry and not train_artifacts_ok:
+            print(f"[train {cfg['name']}] prior report entry found but "
+                  f"checkpoint/stats files are missing from {model_dir} "
+                  f"— re-training", flush=True)
+        if "train" in prior_entry and train_artifacts_ok:
             entry["train"] = prior_entry["train"]
         elif (
             args.resume
-            and os.path.exists(ckpt)
+            and train_artifacts_ok
             and os.path.exists(metrics)
             and _metrics_epochs_done(metrics) >= args.epochs
         ):
@@ -451,9 +486,14 @@ def main(args):
             entry["inference"] = res
             _flush_report(report, args.out)
 
+        # prior inference L1s are only valid against the checkpoint they
+        # were measured with: a re-trained config invalidates them
         entry["inference"] = stage_infer(
             cfg, data_dir, model_dir, args,
-            prior=prior_entry.get("inference"), on_split=_on_split,
+            prior=(prior_entry.get("inference")
+                   if entry["train"] is prior_entry.get("train")
+                   or entry["train"].get("resumed") else None),
+            on_split=_on_split,
         )
         _flush_report(report, args.out)
 
