@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-4 artifact persistence loop.
+#
+# The sandbox snapshot/restore drops GITIGNORED paths (observed Aug 18:
+# a restore at 11:10 UTC kept untracked-but-not-ignored files like
+# article_replay_work_r4.log but deleted article_replay_work/ entirely,
+# losing the 31k-clip fixture and a finished 200-epoch checkpoint).
+# This loop mirrors the expensive-to-recreate replay artifacts into
+# r4_persist/ as single tar files whose names match no .gitignore
+# pattern, so they ride along in snapshots.  r4_restore.sh untars them.
+#
+#   fixture.tar  — article_replay_work/video_data (written once; the
+#                  synthetic fixture is deterministic but costs ~490 s)
+#   state.tar    — models/checkpoints/metrics/results/classifier dirs
+#                  (refreshed every 10 min; hours of training to redo)
+W=/root/repo/article_replay_work
+P=/root/repo/r4_persist
+mkdir -p "$P"
+while true; do
+  if [ -f "$W/video_data/r6d_train.pkl" ] && [ -f "$W/video_data/r6d_test.pkl" ] \
+     && [ ! -f "$P/fixture.tar" ]; then
+    # only once the last-written split exists (writer order: train,val,test)
+    tar -C /root/repo -cf "$P/fixture.tar.tmp" article_replay_work/video_data \
+      && mv "$P/fixture.tar.tmp" "$P/fixture.tar"
+  fi
+  if [ -d "$W" ]; then
+    tar -C /root/repo -cf "$P/state.tar.tmp" \
+        --exclude=article_replay_work/video_data \
+        --exclude=article_replay_work/raw_tree \
+        article_replay_work 2>/dev/null \
+      && mv "$P/state.tar.tmp" "$P/state.tar"
+    cp /root/repo/ARTICLE_REPLAY.json "$P/ARTICLE_REPLAY.json" 2>/dev/null
+  fi
+  sleep 600
+done
