@@ -108,6 +108,7 @@ def make_r6d_dataset(
     split_counts: dict | None = None,
     save_image_feats: bool = True,
     ik_roundtrip: bool = True,
+    categ_signal: bool = False,
 ):
     """Write processed pickles for all three splits under `data_dir`.
 
@@ -119,6 +120,19 @@ def make_r6d_dataset(
     scale {'train': 31128, 'val': 1741, 'test': 2322}, §5 of the PDF);
     `save_image_feats=False` skips the (T, 2000) per-clip ResNet-feature
     pickles, which dominate disk at article scale.
+
+    By default the categoryID labels (`1 + i % 9`) carry no information
+    about the pose/text content (so classifier accuracy on the fixture is
+    chance — the honest default for plumbing tests).  `categ_signal=True`
+    makes the labels learnable: each class k adds a distinct per-frame
+    angular oscillation frequency to the axis-angle curves (which survives
+    the FK→IK→r6d round trip into the classifier's input windows) and a
+    class centroid to the sentence embeddings — so the downstream LSTM /
+    text-MLP surrogate evaluation (article §5.2,
+    /root/reference/H2Sclassifier/Train_Test/main.py:23-121) can be
+    tested for actual above-chance learning, not just plumbing.  The
+    default-False path consumes the RNG identically with or without this
+    flag, so existing fixtures stay byte-identical.
     """
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -133,13 +147,26 @@ def make_r6d_dataset(
         else:
             n = n_clips if split == "train" else max(2, n_clips // 2)
         aa_clips = []
-        for _ in range(n):
+        for i in range(n):
             T = int(rng.randint(*t_range))
             base = rng.uniform(0.3, 1.0, size=(1, 144))
             wob = 0.1 * np.sin(
                 np.linspace(0, 6, T)[:, None] + rng.uniform(0, 3, size=(1, 144))
             )
-            aa_clips.append((base + wob).astype(np.float32))
+            clip = base + wob
+            if categ_signal:
+                # class k's signature: a per-class mean angular offset
+                # (readable at any timestep) plus a distinct per-frame
+                # oscillation frequency (periods ~5..23 frames, well
+                # inside one 192-frame classifier window), on every joint
+                # channel; deterministic in k, so the main RNG stream is
+                # untouched
+                k = 1 + (i % 9)
+                omega = 0.15 + 0.12 * k
+                t = np.arange(T, dtype=np.float64)[:, None]
+                c = np.arange(144, dtype=np.float64)[None, :]
+                clip = clip + 0.08 * k + 0.35 * np.sin(omega * t + 0.5 * c)
+            aa_clips.append(clip.astype(np.float32))
         xyz = kinematics.aa_to_xyz(aa_clips, root, bone_len, structure)
         # ik_roundtrip maps the angles through IK's canonical form (what
         # the real pipeline's xyz->aa produces); xyz == FK(aa) holds
@@ -152,6 +179,14 @@ def make_r6d_dataset(
         save_binary(xyz, os.path.join(data_dir, f"xyz_{split}.pkl"))
 
         embeds = rng.randn(n, text_dim).astype(np.float32)
+        if categ_signal:
+            # class centroids from a fixed side-stream (the main RNG is
+            # not consumed), strong enough for a linear probe / the
+            # SentenceClassifier MLP to separate
+            cents = np.random.RandomState(seed + 4242).randn(9, text_dim)
+            embeds = embeds + 2.0 * cents[
+                np.arange(n) % 9
+            ].astype(np.float32)
         save_binary(embeds, os.path.join(data_dir, f"{split}_sentence_embeddings.pkl"))
         save_binary(
             np.tile(embeds.mean(axis=0), (n, 1)),

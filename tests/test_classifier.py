@@ -56,6 +56,98 @@ def test_trainer_overfits_tiny_problem(rng):
     assert len(GT) == len(pred) == 16
 
 
+def test_signal_fixture_default_path_unchanged(tmp_path):
+    """categ_signal=False must consume the RNG identically to the
+    pre-flag generator: existing fixtures stay byte-identical."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    synthetic.make_r6d_dataset(a, n_clips=4, t_range=(40, 80), seed=5,
+                               save_image_feats=False)
+    synthetic.make_r6d_dataset(b, n_clips=4, t_range=(40, 80), seed=5,
+                               save_image_feats=False, categ_signal=False)
+    for f in ("r6d_train.pkl", "train_sentence_embeddings.pkl"):
+        xa, xb = load_binary(f"{a}/{f}"), load_binary(f"{b}/{f}")
+        np.testing.assert_array_equal(np.concatenate([np.ravel(v) for v in xa]),
+                                      np.concatenate([np.ravel(v) for v in xb]))
+    # and categ_signal=True actually changes the poses
+    c = str(tmp_path / "c")
+    synthetic.make_r6d_dataset(c, n_clips=4, t_range=(40, 80), seed=5,
+                               save_image_feats=False, categ_signal=True)
+    ra = load_binary(f"{a}/r6d_train.pkl")
+    rc = load_binary(f"{c}/r6d_train.pkl")
+    assert any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(ra, rc)
+    )
+
+
+@pytest.mark.slow
+def test_lstm_classifier_learns_signal_fixture(tmp_path):
+    """The §5.2 surrogate evaluation is more than plumbing: on a fixture
+    whose categoryID labels carry a per-class motion frequency
+    (categ_signal=True), the LSTM classifier must reach well-above-chance
+    val accuracy (chance = 1/9).  Reference semantics:
+    /root/reference/H2Sclassifier/Train_Test/main.py:23-121."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.train.classifier import (
+        load_data,
+    )
+
+    data_dir = str(tmp_path / "video_data")
+    synthetic.make_r6d_dataset(
+        data_dir, n_clips=54, t_range=(60, 140), seed=7,
+        save_image_feats=False, categ_signal=True,
+    )
+    X_tr, Y_tr = load_data(data_dir, "r6d", "train")
+    X_va, Y_va = load_data(data_dir, "r6d", "val")
+    m = ClassifLSTM(hidden_size=64, num_layers=1, num_classes=10,
+                    bidirectional=False)
+    tr = ClassifierTrainer(m, learning_rate=3e-3, weight_decay=0.0)
+    params, opt = tr.init_state(jax.random.PRNGKey(0), X_tr[:2])
+    key = jax.random.PRNGKey(1)
+    best = 0.0
+    for _ in range(60):
+        params, opt, losses, acc, key = tr.train_epoch(
+            params, opt, X_tr, Y_tr, 16, key
+        )
+        _, val_acc, _ = tr.val_epoch(params, X_va, Y_va, 16)
+        best = max(best, float(val_acc))
+    assert best > 0.4, f"val acc {best} not above chance (1/9)"
+
+
+def test_mlp_classifier_learns_signal_embeds(tmp_path):
+    """Same for the text-MLP baseline (reference MLP_main.py:119-174):
+    class-centroid-shifted sentence embeddings must be separable."""
+    data_dir = str(tmp_path / "video_data")
+    synthetic.make_r6d_dataset(
+        data_dir, n_clips=54, t_range=(40, 60), seed=7, text_dim=384,
+        save_image_feats=False, categ_signal=True,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+
+    X_tr = np.asarray(load_binary(f"{data_dir}/train_sentence_embeddings.pkl"))
+    Y_tr = np.asarray(load_binary(f"{data_dir}/categs_train.pkl"))
+    X_va = np.asarray(load_binary(f"{data_dir}/val_sentence_embeddings.pkl"))
+    Y_va = np.asarray(load_binary(f"{data_dir}/categs_val.pkl"))
+    m = SentenceClassifier()
+    tr = ClassifierTrainer(m, learning_rate=1e-3, weight_decay=0.0,
+                           last_timestep_only=False)
+    params, opt = tr.init_state(jax.random.PRNGKey(0), X_tr[:2])
+    key = jax.random.PRNGKey(1)
+    best = 0.0
+    for _ in range(60):
+        params, opt, losses, acc, key = tr.train_epoch(
+            params, opt, X_tr, Y_tr, 16, key
+        )
+        _, val_acc, _ = tr.val_epoch(params, X_va, Y_va, 16)
+        best = max(best, float(val_acc))
+    assert best > 0.5, f"val acc {best} not above chance (1/9)"
+
+
 @pytest.mark.parametrize("optimizer", ["Adam", "AdamW", "NAdam"])
 def test_optimizer_registry(optimizer, rng):
     m = SentenceClassifier()
