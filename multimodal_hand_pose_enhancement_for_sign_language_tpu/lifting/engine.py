@@ -281,12 +281,14 @@ def lift_clips(
     # each in-flight batch holds its padded inputs + outputs on device.
     # MHPE_LIFT_PREFETCH=0 restores strictly serial dispatch->fetch
     # (the A/B control; see STATUS "article_lifting" notes).
-    # Default 0 (serial): the only article-scale measurement with the
-    # queue on was ~75% slower than the serial run (TPU_PROBE
-    # "r3_overlap_rerun" 1176s vs 671s — ADVICE r3), so overlap is
-    # opt-in until tpu_lift_prefetch_ab.py records an interleaved win.
+    # Default 3: the interleaved A/B on identical tunnel conditions
+    # (tpu_lift_prefetch_ab.py, TPU_PROBE "lift_prefetch_ab") measures
+    # depth=3 at 1.52x over serial (medians 50.4s vs 76.9s over two
+    # alternating reps at 4000 clips).  The earlier r3 observation of
+    # overlap "losing" (1176s vs 671s) compared runs on DIFFERENT days
+    # of tunnel load and is superseded by the controlled A/B.
     pending: list = []
-    depth = int(os.environ.get("MHPE_LIFT_PREFETCH", "0"))
+    depth = int(os.environ.get("MHPE_LIFT_PREFETCH", "3"))
 
     def _drain(entry):
         chunk, res_dev = entry
