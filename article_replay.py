@@ -107,7 +107,8 @@ def stage_fixture(args, work):
         "from multimodal_hand_pose_enhancement_for_sign_language_tpu.data "
         "import synthetic\n"
         f"synthetic.make_r6d_dataset({data_dir!r}, split_counts={counts!r}, "
-        f"seed=7, save_image_feats={small!r}, ik_roundtrip={small!r})\n"
+        f"seed=7, save_image_feats={small!r}, ik_roundtrip={small!r}, "
+        f"categ_signal={args.signal_fixture!r})\n"
     )
     t0 = time.perf_counter()
     subprocess.run(
@@ -117,8 +118,12 @@ def stage_fixture(args, work):
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     wall = time.perf_counter() - t0
+    with open(os.path.join(data_dir, "fixture_meta.json"), "w") as f:
+        json.dump({"categ_signal": args.signal_fixture,
+                   "counts": counts, "seed": 7}, f)
     print(f"[fixture] {counts} in {wall:.1f}s -> {data_dir}", flush=True)
-    return data_dir, {"source": "synthetic", "counts": counts, "wall_s": wall}
+    return data_dir, {"source": "synthetic", "counts": counts, "wall_s": wall,
+                      "categ_signal": args.signal_fixture}
 
 
 def _metrics_best_val(metrics_path):
@@ -432,10 +437,24 @@ def main(args):
         _flush_report(report, args.out)
 
     fixture_pkl = os.path.join(work, "video_data", "r6d_train.pkl")
-    if args.resume and not args.data_dir and os.path.exists(fixture_pkl):
+    # a fixture may only be reused if its categ_signal matches the
+    # requested one (fixture_meta.json; fixtures from before the marker
+    # existed are all default non-signal)
+    fixture_meta = os.path.join(work, "video_data", "fixture_meta.json")
+    on_disk_signal = False
+    if os.path.exists(fixture_meta):
+        with open(fixture_meta) as f:
+            on_disk_signal = bool(json.load(f).get("categ_signal", False))
+    if (
+        args.resume
+        and not args.data_dir
+        and os.path.exists(fixture_pkl)
+        and on_disk_signal == args.signal_fixture
+    ):
         data_dir = os.path.join(work, "video_data")
         fixture_info = {"source": "synthetic", "resumed": True,
-                        "counts": SCALES[args.scale]}
+                        "counts": SCALES[args.scale],
+                        "categ_signal": args.signal_fixture}
         print(f"[fixture] resumed from {data_dir}", flush=True)
     else:
         data_dir, fixture_info = stage_fixture(args, work)
@@ -443,7 +462,21 @@ def main(args):
     _flush_report(report, args.out)
 
     report["configs"] = {}
-    for cfg in CONFIGS:
+    selected = (
+        [c for c in CONFIGS if c["name"] in args.configs.split(",")]
+        if args.configs else CONFIGS
+    )
+    if args.configs and len(selected) != len(args.configs.split(",")):
+        raise SystemExit(
+            f"--configs {args.configs!r}: unknown name "
+            f"(have {[c['name'] for c in CONFIGS]})"
+        )
+    if not args.skip_classifier and CONFIGS[0] not in selected:
+        raise SystemExit(
+            f"the classifier stage consumes {CONFIGS[0]['name']}'s "
+            "results; include it in --configs or pass --skip_classifier"
+        )
+    for cfg in selected:
         entry = {"pipeline": cfg["pipeline"], "model": cfg["model"],
                  "loss": cfg["loss"], "require_text": cfg["require_text"]}
         report["configs"][cfg["name"]] = entry
@@ -650,6 +683,20 @@ def build_parser():
                    "survive interruption)")
     p.add_argument("--skip_raw_smoke", action="store_true")
     p.add_argument("--skip_classifier", action="store_true")
+    p.add_argument("--configs", type=str, default="",
+                   help="comma list restricting which canonical configs "
+                   "run (names from CONFIGS; default: all).  The "
+                   "classifier surrogate stage consumes the FIRST "
+                   "config's results, so '--configs arm2wh_v1_L1' is "
+                   "the minimal classifier-bearing run")
+    p.add_argument("--signal_fixture", action="store_true",
+                   help="generate the synthetic fixture with "
+                   "categ_signal=True (label-dependent pose signature + "
+                   "text class centroids, data/synthetic.py) so the "
+                   "classifier surrogate eval (§5.2) measures actual "
+                   "above-chance learning instead of plumbing; the "
+                   "default fixture's labels are independent of the "
+                   "pose streams, so its accuracies sit at chance")
     p.add_argument("--fingers", type=str, default="",
                    help="comma list of masked-finger counts for the "
                    "incremental-masking trend (article Table 2 / "

@@ -97,3 +97,62 @@ def test_article_replay_tiny(tmp_path):
         # inference re-ran against the recovered checkpoints
         for split in ("train", "val", "test"):
             assert np.isfinite(entry["inference"]["L1"][split])
+
+
+@pytest.mark.slow
+def test_article_replay_signal_fixture(tmp_path):
+    """--signal_fixture plumbs categ_signal through fixture generation,
+    records it in the report + fixture_meta.json, and the resume guard
+    refuses to reuse a fixture whose signal flag mismatches."""
+    import article_replay
+
+    out = str(tmp_path / "AR.json")
+    work = tmp_path / "work"
+    argv = [
+        "--scale", "tiny",
+        "--epochs", "1",
+        "--batch_size", "8",
+        "--num_samples", "8",
+        "--work_dir", str(work),
+        "--out", out,
+        "--skip_raw_smoke",
+        "--skip_classifier",
+        "--signal_fixture",
+    ]
+    args = article_replay.build_parser().parse_args(argv)
+    report = article_replay.main(args)
+    assert report["fixture"]["categ_signal"] is True
+    meta = json.load(open(work / "video_data" / "fixture_meta.json"))
+    assert meta["categ_signal"] is True
+    # the signal fixture differs from the default one (same seed)
+    import pickle
+
+    with open(work / "video_data" / "r6d_train.pkl", "rb") as f:
+        signal_r6d = pickle.load(f)
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+        synthetic,
+    )
+
+    plain_dir = tmp_path / "plain"
+    synthetic.make_r6d_dataset(
+        str(plain_dir), split_counts=article_replay.SCALES["tiny"], seed=7,
+        save_image_feats=True, ik_roundtrip=True, categ_signal=False,
+    )
+    with open(plain_dir / "r6d_train.pkl", "rb") as f:
+        plain_r6d = pickle.load(f)
+    assert not np.allclose(signal_r6d[0], plain_r6d[0])
+
+    # resume with matching signal flag reuses the fixture...
+    args.resume = True
+    os.remove(out)
+    resumed = article_replay.main(args)
+    assert resumed["fixture"].get("resumed") is True
+    assert resumed["fixture"]["categ_signal"] is True
+    # ...but dropping the flag regenerates instead of silently reusing
+    args.signal_fixture = False
+    os.remove(out)
+    regen = article_replay.main(args)
+    assert "resumed" not in regen["fixture"]
+    assert regen["fixture"]["categ_signal"] is False
+    meta = json.load(open(work / "video_data" / "fixture_meta.json"))
+    assert meta["categ_signal"] is False

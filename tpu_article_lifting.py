@@ -130,8 +130,34 @@ def main(n_clips=N_CLIPS):
     }
     print(json.dumps(res), flush=True)
 
+    # append to the run history (wall-clock varies with shared-tunnel
+    # load, so runs are kept side by side rather than overwritten);
+    # the run key names the configuration under test
+    import os
+
+    run_key = os.environ.get("MHPE_LIFT_RUN_KEY", "latest")
     results = json.load(open(OUT))
-    results["article_lifting"] = res
+    entry = results.get("article_lifting", {})
+    runs = entry.get("runs", {})
+    run = {
+        k: res[k]
+        for k in (
+            "cold_wall_s", "warm_wall_s", "frames_per_s_warm",
+            "approx_tunnel_io_gb", "tf_baseline_frames_per_s_1proc",
+            "tf_baseline_est_hours_pool24", "speedup_vs_pool24_filter_only",
+        )
+    }
+    run["prefetch_depth"] = int(os.environ.get("MHPE_LIFT_PREFETCH", "3"))
+    runs[run_key] = run
+    results["article_lifting"] = {
+        "n_clips": res["n_clips"],
+        "total_frames": res["total_frames"],
+        "device_compute_s_at_resident_rate":
+            res["device_compute_s_at_resident_rate"],
+        "bound_by": "axon dev-tunnel host<->device bandwidth, not device "
+                    "compute; wall-clock varies with tunnel load (see runs)",
+        "runs": runs,
+    }
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
 
