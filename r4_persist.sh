@@ -13,23 +13,31 @@
 #                  synthetic fixture is deterministic but costs ~490 s)
 #   state.tar    — models/checkpoints/metrics/results/classifier dirs
 #                  (refreshed every 10 min; hours of training to redo)
-W=/root/repo/article_replay_work
 P=/root/repo/r4_persist
 mkdir -p "$P"
-while true; do
+
+# mirror_work <dirname> <tag>: fixture tar once, state tar refreshed
+mirror_work() {
+  local NAME=$1 TAG=$2 W=/root/repo/$1
   if [ -f "$W/video_data/r6d_train.pkl" ] && [ -f "$W/video_data/r6d_test.pkl" ] \
-     && [ ! -f "$P/fixture.tar" ]; then
+     && [ ! -f "$P/fixture$TAG.tar" ]; then
     # only once the last-written split exists (writer order: train,val,test)
-    tar -C /root/repo -cf "$P/fixture.tar.tmp" article_replay_work/video_data \
-      && mv "$P/fixture.tar.tmp" "$P/fixture.tar"
+    tar -C /root/repo -cf "$P/fixture$TAG.tar.tmp" "$NAME/video_data" \
+      && mv "$P/fixture$TAG.tar.tmp" "$P/fixture$TAG.tar"
   fi
   if [ -d "$W" ]; then
-    tar -C /root/repo -cf "$P/state.tar.tmp" \
-        --exclude=article_replay_work/video_data \
-        --exclude=article_replay_work/raw_tree \
-        article_replay_work 2>/dev/null \
-      && mv "$P/state.tar.tmp" "$P/state.tar"
-    cp /root/repo/ARTICLE_REPLAY.json "$P/ARTICLE_REPLAY.json" 2>/dev/null
+    tar -C /root/repo -cf "$P/state$TAG.tar.tmp" \
+        --exclude="$NAME/video_data" \
+        --exclude="$NAME/raw_tree" \
+        "$NAME" 2>/dev/null \
+      && mv "$P/state$TAG.tar.tmp" "$P/state$TAG.tar"
   fi
+}
+
+while true; do
+  mirror_work article_replay_work ""
+  mirror_work article_replay_work_signal "_signal"
+  cp /root/repo/ARTICLE_REPLAY.json "$P/ARTICLE_REPLAY.json" 2>/dev/null
+  cp /root/repo/ARTICLE_REPLAY_signal.json "$P/ARTICLE_REPLAY_signal.json" 2>/dev/null
   sleep 600
 done

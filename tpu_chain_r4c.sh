@@ -26,6 +26,14 @@ if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
 fi
 echo $$ > "$PIDFILE"
 
+# Sandbox restores drop gitignored artifacts; refill from r4_persist/
+# tars and keep mirroring while we run (see r4_persist.sh header).
+bash /root/repo/r4_restore.sh >> "$LOG" 2>&1
+if ! { [ -f /tmp/r4_persist.pid ] && kill -0 "$(cat /tmp/r4_persist.pid)" 2>/dev/null; }; then
+  nohup bash /root/repo/r4_persist.sh > /root/repo/r4_persist.log 2>&1 &
+  echo $! > /tmp/r4_persist.pid
+fi
+
 HEAVY_DEADLINE=${HEAVY_DEADLINE:-$(( $(date +%s) + 21600 ))}   # default now+6h
 left() { echo $(( HEAVY_DEADLINE - $(date +%s) )); }
 
