@@ -126,34 +126,67 @@ def stage_fixture(args, work):
                       "categ_signal": args.signal_fixture}
 
 
-def _metrics_best_val(metrics_path):
-    """Best (min) validation generator loss recorded in a training
-    metrics JSONL — used to recover a completed train stage's result
-    when resuming without re-running 200 epochs."""
-    best = None
+def _parse_fingers(spec):
+    """Masked-finger counts from '--fingers': comma list '1,2,5' or range
+    '1..5' -> [1, 2, 3, 4, 5] (the launcher's sweep shape,
+    launch_exp_incr_fingers.sh:10)."""
+    if ".." in spec:
+        lo, hi = spec.split("..")
+        return list(range(int(lo), int(hi) + 1))
+    return [int(k) for k in spec.split(",") if k]
+
+
+def _last_run_records(metrics_path):
+    """Records of the LAST training run in a metrics JSONL.
+
+    MetricsSink appends, so a re-trained stage stacks runs in one file;
+    an epoch number lower than its predecessor marks a restart.  Only
+    the final run's records may be trusted for resume decisions —
+    otherwise an interrupted re-train inherits the epoch count (and the
+    best-val) of an earlier completed run.
+    """
+    runs, cur, prev_epoch = [], [], None
     with open(metrics_path) as f:
         for line in f:
             rec = json.loads(line)
-            if "loss_val_gen" in rec:
-                v = float(rec["loss_val_gen"])
-                best = v if best is None else min(best, v)
+            e = rec.get("epoch")
+            if e is not None and prev_epoch is not None and e < prev_epoch:
+                runs.append(cur)
+                cur = []
+            if e is not None:
+                prev_epoch = e
+            cur.append(rec)
+    runs.append(cur)
+    return runs[-1]
+
+
+def _metrics_best_val(metrics_path):
+    """Best (min) validation generator loss recorded by the LAST
+    training run in a metrics JSONL — used to recover a completed train
+    stage's result when resuming without re-running 200 epochs."""
+    best = None
+    for rec in _last_run_records(metrics_path):
+        if "loss_val_gen" in rec:
+            v = float(rec["loss_val_gen"])
+            best = v if best is None else min(best, v)
     return best
 
 
 def _metrics_epochs_done(metrics_path):
-    """Number of training epochs recorded in a metrics JSONL.
+    """Number of training epochs recorded by the LAST run in a metrics
+    JSONL.
 
     --resume must NOT treat a checkpoint + metrics file as a finished
     stage (the checkpoint is written DURING training, so an interrupted
     200-epoch run would silently resume as 'complete'); the stage only
-    counts as done when the log reached the requested epoch count.
+    counts as done when the LAST run's log reached the requested epoch
+    count (earlier completed runs stacked in the same append-mode file
+    don't count — their checkpoint was overwritten by the re-train).
     """
     last = -1
-    with open(metrics_path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if "epoch" in rec:
-                last = max(last, int(rec["epoch"]))
+    for rec in _last_run_records(metrics_path):
+        if "epoch" in rec:
+            last = max(last, int(rec["epoch"]))
     return last + 1
 
 
@@ -284,7 +317,7 @@ def stage_infer(cfg, data_dir, model_dir, args, prior=None, on_split=None,
     return res
 
 
-def _selection_indices(res_dir, data_dir, split):
+def _selection_indices(res_dir, data_dir, split, require_text=False):
     """Original clip indices of the result rows in ``res_dir``.
 
     Inference persists these as sel_indices_{split}.pkl (the num_samples
@@ -292,7 +325,11 @@ def _selection_indices(res_dir, data_dir, split):
     labels must be subset with sel to stay aligned — ADVICE r3).  For
     results written before that file existed, the selection is
     reconstructed: it is deterministic (the first-N-NaN-surviving-window
-    rule of load_windows/run_inference)."""
+    rule of load_windows/run_inference).  ``require_text`` must match the
+    config that wrote the results: a text-conditioned inference also
+    drops clips whose sentence-embedding row has NaNs, so the
+    reconstruction must apply the same feats rule or every label after
+    such a clip would be misaligned."""
     from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
         load_binary,
     )
@@ -305,7 +342,12 @@ def _selection_indices(res_dir, data_dir, split):
         return load_binary(p)
     results = load_binary(os.path.join(res_dir, f"r6d_{split}.pkl"))
     clips = load_binary(os.path.join(data_dir, f"r6d_{split}.pkl"))
-    sel = win_lib.first_valid_window_indices(clips, len(results))
+    feats = None
+    if require_text:
+        feats = load_binary(
+            os.path.join(data_dir, f"{split}_sentence_embeddings.pkl")
+        )
+    sel = win_lib.first_valid_window_indices(clips, len(results), feats=feats)
     assert len(sel) == len(results), (len(sel), len(results))
     return sel
 
@@ -441,15 +483,16 @@ def main(args):
     # requested one (fixture_meta.json; fixtures from before the marker
     # existed are all default non-signal)
     fixture_meta = os.path.join(work, "video_data", "fixture_meta.json")
-    on_disk_signal = False
+    on_disk = {}
     if os.path.exists(fixture_meta):
         with open(fixture_meta) as f:
-            on_disk_signal = bool(json.load(f).get("categ_signal", False))
+            on_disk = json.load(f)
     if (
         args.resume
         and not args.data_dir
         and os.path.exists(fixture_pkl)
-        and on_disk_signal == args.signal_fixture
+        and bool(on_disk.get("categ_signal", False)) == args.signal_fixture
+        and on_disk.get("counts") == SCALES[args.scale]
     ):
         data_dir = os.path.join(work, "video_data")
         fixture_info = {"source": "synthetic", "resumed": True,
@@ -460,6 +503,19 @@ def main(args):
         data_dir, fixture_info = stage_fixture(args, work)
     report["fixture"] = fixture_info
     _flush_report(report, args.out)
+
+    # A REGENERATED synthetic fixture invalidates every downstream
+    # resume artifact in this work dir: checkpoints, metrics, result
+    # pickles and prior-report entries were all measured against the
+    # old data (e.g. --resume with a flipped --signal_fixture or a
+    # changed --scale).  User --data_dir is external and unchanged, so
+    # stage resume stays valid there.
+    stage_resume_ok = args.data_dir or fixture_info.get("resumed", False)
+    if args.resume and not stage_resume_ok:
+        print("[resume] fixture was regenerated — prior stage results/"
+              "checkpoints in this work dir refer to the OLD fixture "
+              "and will NOT be reused", flush=True)
+        prior, prior_cfgs = {}, {}
 
     report["configs"] = {}
     selected = (
@@ -500,6 +556,7 @@ def main(args):
             entry["train"] = prior_entry["train"]
         elif (
             args.resume
+            and stage_resume_ok
             and train_artifacts_ok
             and os.path.exists(metrics)
             and _metrics_epochs_done(metrics) >= args.epochs
@@ -541,7 +598,10 @@ def main(args):
         def get_sel():
             if "sel" not in _sel_cache:
                 _sel_cache["sel"] = {
-                    s: _selection_indices(res_dir, data_dir, s)
+                    s: _selection_indices(
+                        res_dir, data_dir, s,
+                        require_text=CONFIGS[0]["require_text"],
+                    )
                     for s in ("train", "val")
                 }
                 cls["windows"] = {
@@ -597,7 +657,7 @@ def main(args):
         # L1 recorded as the Table-2-shaped series.  Runs at
         # --finger_epochs (reduced from 200: the trend, not the absolute
         # numbers, is the object) and resumes per-K.
-        ks = [int(k) for k in args.fingers.replace("..", ",").split(",") if k]
+        ks = _parse_fingers(args.fingers)
         trend = report["finger_trend"] = dict(prior.get("finger_trend", {}))
         report["finger_trend_epochs"] = args.finger_epochs
         targs = argparse.Namespace(**vars(args))
@@ -613,10 +673,27 @@ def main(args):
             )
             ckpt = os.path.join(model_dir, f"lastCheckpoint_{cfg['name']}.pkl")
             metrics = os.path.join(model_dir, f"metrics_{cfg['name']}.jsonl")
+            stats_npz = os.path.join(
+                model_dir,
+                f"{cfg['name']}{cfg['pipeline']}_preprocess_core.npz",
+            )
+            # same artifact check as the canonical configs: a prior
+            # report 'train' entry whose checkpoint/stats were lost must
+            # re-train, or downstream inference crashes on missing files
+            train_artifacts_ok = (
+                os.path.exists(ckpt) and os.path.exists(stats_npz)
+            )
+            if "train" in entry and not train_artifacts_ok:
+                print(f"[train {cfg['name']}] prior trend entry found but "
+                      f"checkpoint/stats files are missing — re-training",
+                      flush=True)
+                del entry["train"]
+                entry.pop("inference", None)
             if "train" not in entry:
                 if (
                     args.resume
-                    and os.path.exists(ckpt)
+                    and stage_resume_ok
+                    and train_artifacts_ok
                     and os.path.exists(metrics)
                     and _metrics_epochs_done(metrics) >= targs.epochs
                 ):

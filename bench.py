@@ -127,33 +127,67 @@ def measure_tpu(n_devices: int = 1, max_attempts: int = None,
     return b_total * T / med / n_devices, spread, len(sets)
 
 
-def tpu_reachable(timeout_s: int = 240) -> bool:
+def tpu_reachable(timeout_s: int = 240, claim_grace_s: int = 600) -> bool:
     """Probe device availability in a SUBPROCESS with a hard timeout.
 
     With the axon tunnel down, the first jax.devices() blocks forever in
     the plugin's claim-retry loop — in-process there is no way to give
     up.  A bench that hangs produces NO artifact; a bench that reports
     the outage produces an honest one.  CPU-only configs skip the probe
-    (nothing to claim)."""
+    (nothing to claim).
+
+    Killing discipline (tpu_chain_r4b.sh postmortem): a probe killed
+    while still BLOCKED in the claim-retry loop is harmless, but a probe
+    killed AFTER it claimed the terminal leaves a ~30 min stale
+    server-side lease that makes every subsequent claimer block.  The
+    child therefore drops a marker file the moment jax.devices()
+    returns; the parent only applies ``timeout_s`` to the un-claimed
+    phase, and once claimed grants ``claim_grace_s`` extra for the
+    trivial scalar fetch before giving up."""
     import subprocess
+    import tempfile
 
     platforms = os.environ.get("JAX_PLATFORMS", "axon,cpu")
     if "axon" not in platforms and "tpu" not in platforms:
         return True
+    fd, marker = tempfile.mkstemp(prefix="mhpe_tpu_probe_")
+    os.close(fd)
     code = (
         "import jax, numpy as np\n"
         "jax.devices()\n"
+        f"open({marker!r}, 'w').write('claimed')\n"
         "print(float(np.asarray(jax.numpy.ones((8, 8)).sum())))\n"
     )
+    p = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    t0 = time.time()
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                return rc == 0
+            claimed = os.path.getsize(marker) > 0
+            elapsed = time.time() - t0
+            if not claimed and elapsed > timeout_s:
+                p.kill()  # still blocked claiming: no lease held, safe
+                p.wait()
+                return False
+            if claimed and elapsed > timeout_s + claim_grace_s:
+                # holds the terminal but can't finish a trivial fetch:
+                # unusable either way; killing costs the stale lease,
+                # hanging costs the artifact — report the outage
+                p.kill()
+                p.wait()
+                return False
+            time.sleep(1.0)
+    finally:
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
 
 
 def measure_torch_baseline() -> float:

@@ -67,7 +67,9 @@ def main(args):
         test_X = test_X[0]
     dropped = win_lib.nan_clip_indices(test_X, test_Y, test_feats)
     orig_idx = np.delete(np.asarray(orig_idx, dtype=int), dropped)
-    test_X, test_Y, test_feats = win_lib.rmv_clips_nan(test_X, test_Y, test_feats)
+    test_X, test_Y, test_feats = win_lib.rmv_clips_nan(
+        test_X, test_Y, test_feats, idx_nan=dropped
+    )
     assert not np.any(np.isnan(test_X)) and not np.any(np.isnan(test_Y))
     print(f"test_X.shape, test_Y.shape: {test_X.shape}, {test_Y.shape}", flush=True)
     input_feats = test_X.copy()  # (N, T, D) r6d, original scale, pre-slice

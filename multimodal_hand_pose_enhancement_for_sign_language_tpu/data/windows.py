@@ -48,12 +48,16 @@ def nan_clip_indices(X, Y=None, T=None):
     return sorted(set(idx_nan))
 
 
-def rmv_clips_nan(X, Y=None, T=None):
+def rmv_clips_nan(X, Y=None, T=None, idx_nan=None):
     """Drop clips (leading-axis entries) containing any NaN in X, Y or T.
 
-    Reference: postprocess_utils.py:5-28.
+    Reference: postprocess_utils.py:5-28.  ``idx_nan`` takes a
+    precomputed ``nan_clip_indices`` result so callers that already need
+    the indices (e.g. inference.py's selection bookkeeping) don't pay a
+    second full-array isnan sweep.
     """
-    idx_nan = nan_clip_indices(X, Y, T)
+    if idx_nan is None:
+        idx_nan = nan_clip_indices(X, Y, T)
     X = np.delete(X, idx_nan, axis=0)
     if Y is not None:
         Y = np.delete(Y, idx_nan, axis=0)

@@ -17,6 +17,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def test_parse_fingers():
+    import article_replay
+
+    assert article_replay._parse_fingers("1,2,5") == [1, 2, 5]
+    # range form must expand, not collapse to endpoints (r4 code review:
+    # the old replace('..', ',') silently ran only K=1 and K=5)
+    assert article_replay._parse_fingers("1..5") == [1, 2, 3, 4, 5]
+    assert article_replay._parse_fingers("3..3") == [3]
+
+
+def test_metrics_helpers_use_last_run_only(tmp_path):
+    """Append-mode metrics JSONL stacks runs; resume decisions must read
+    only the LAST run (r4 code review: a completed 5-epoch run followed
+    by an interrupted re-train must NOT count as complete)."""
+    import article_replay
+
+    p = tmp_path / "metrics.jsonl"
+    recs = (
+        # run 1: complete, epochs 0..4, best val 1.0
+        [{"epoch": e, "loss_val_gen": 2.0 - 0.25 * e} for e in range(5)]
+        # run 2: interrupted at epoch 1, worse losses
+        + [{"epoch": 0, "loss_val_gen": 9.0}, {"epoch": 1, "loss_val_gen": 8.0}]
+    )
+    with open(p, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    assert article_replay._metrics_epochs_done(p) == 2
+    assert article_replay._metrics_best_val(p) == 8.0
+
+    # single complete run: unchanged semantics
+    with open(p, "w") as f:
+        for e in range(3):
+            f.write(json.dumps({"epoch": e, "loss_val_gen": 3.0 - e}) + "\n")
+    assert article_replay._metrics_epochs_done(p) == 3
+    assert article_replay._metrics_best_val(p) == 1.0
+
+
 @pytest.mark.slow
 def test_article_replay_tiny(tmp_path):
     import article_replay
@@ -156,3 +193,8 @@ def test_article_replay_signal_fixture(tmp_path):
     assert regen["fixture"]["categ_signal"] is False
     meta = json.load(open(work / "video_data" / "fixture_meta.json"))
     assert meta["categ_signal"] is False
+    # and a regenerated fixture also invalidates stage resume: the
+    # checkpoints/metrics on disk were trained on the OLD (signal)
+    # fixture, so training must re-run rather than resume (r4 review)
+    for entry in regen["configs"].values():
+        assert entry["train"].get("resumed") is not True

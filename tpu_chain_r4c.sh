@@ -16,12 +16,21 @@
 # killed claimer leaves a ~30 min stale lease); each stage IS the
 # claimer, watched by a log-mtime watchdog.
 cd /root/repo || exit 1
-LOG=/root/repo/article_replay_work_r4.log
+# own log: the stall watchdog keys on LOG mtime, so sharing a log with a
+# concurrently running sibling chain would keep mtime fresh and defeat
+# stall detection (r4 code review)
+LOG=/root/repo/article_replay_work_r4c.log
 PIDFILE=/root/repo/.r4c_chain.pid
 STALL_S=2400
 
 if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
   echo "$(date -u +%H:%M:%S) r4c chain already running (pid $(cat "$PIDFILE")); exiting" >> "$LOG"
+  exit 0
+fi
+# never run concurrently with the r4b chain: both claim the single TPU
+# terminal and one would block in the claim-retry loop
+if [ -f /root/repo/.r4_chain.pid ] && kill -0 "$(cat /root/repo/.r4_chain.pid)" 2>/dev/null; then
+  echo "$(date -u +%H:%M:%S) r4b chain still running; exiting" >> "$LOG"
   exit 0
 fi
 echo $$ > "$PIDFILE"
