@@ -118,12 +118,89 @@ def stage_fixture(args, work):
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     wall = time.perf_counter() - t0
+    fingerprint = _fixture_fingerprint(data_dir)
     with open(os.path.join(data_dir, "fixture_meta.json"), "w") as f:
         json.dump({"categ_signal": args.signal_fixture,
-                   "counts": counts, "seed": 7}, f)
+                   "counts": counts, "seed": 7,
+                   "fingerprint": fingerprint}, f)
     print(f"[fixture] {counts} in {wall:.1f}s -> {data_dir}", flush=True)
     return data_dir, {"source": "synthetic", "counts": counts, "wall_s": wall,
-                      "categ_signal": args.signal_fixture}
+                      "categ_signal": args.signal_fixture,
+                      "fingerprint": fingerprint}
+
+
+def _fixture_fingerprint(data_dir):
+    """Content fingerprint of a fixture dir: sha256 over the sorted
+    (name, file-sha256) pairs of every pickle in it.
+
+    The synthetic fixture is deterministic (fixed seed), but the sandbox
+    snapshot/restore deletes gitignored work dirs, so a --resume often
+    has to REGENERATE it.  A regenerated fixture whose fingerprint
+    equals the one recorded in the prior report is bit-identical to the
+    data the surviving checkpoints were trained on, so stage resume
+    stays valid — without this, every restore forced a full re-train
+    (observed Aug 19: restore wiped the signal fixture mid-run with a
+    finished 50-epoch checkpoint on disk)."""
+    import hashlib
+
+    outer = hashlib.sha256()
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".pkl"):
+            continue
+        h = hashlib.sha256()
+        with open(os.path.join(data_dir, name), "rb") as f:
+            for chunk in iter(lambda: f.read(8 << 20), b""):
+                h.update(chunk)
+        outer.update(name.encode())
+        outer.update(h.digest())
+    return outer.hexdigest()
+
+
+def _stats_npz_matches(cfg, data_dir, model_dir, embeds_type="normal"):
+    """Validate a surviving checkpoint against a REGENERATED fixture when
+    the prior report predates the fixture fingerprint.
+
+    The standardization stats npz written at training time
+    (train/data.load_data) is a deterministic function of the full train
+    split for the config's pipeline; if stats recomputed from the
+    regenerated fixture are bitwise-equal to the on-disk npz, the
+    checkpoint was trained on identical X/Y data and the prior-report
+    train entry may be trusted.  Only validates the pose streams — for
+    require_text configs the text pickle is covered by the fingerprint
+    path, not this fallback, so those configs re-train."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+        standardize as std_lib,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.train import (
+        data as tdata,
+    )
+
+    if cfg["require_text"]:
+        return False
+    npz_path = os.path.join(
+        model_dir, f"{cfg['name']}{cfg['pipeline']}_preprocess_core.npz"
+    )
+    if not os.path.exists(npz_path):
+        return False
+    fetched = tdata._fetch_split_fused(
+        data_dir, "train", cfg["pipeline"], False, embeds_type, "./"
+    )
+    if fetched is None:
+        return False
+    X, Y, _ = fetched
+    mean_X, std_X, mean_Y, std_Y = std_lib.calc_standard(
+        np.swapaxes(X, 1, 2), np.swapaxes(Y, 1, 2), cfg["pipeline"]
+    )
+    with np.load(npz_path) as z:
+        return all(
+            np.array_equal(z[k], v)
+            for k, v in (
+                ("body_mean_X", mean_X),
+                ("body_std_X", std_X),
+                ("body_mean_Y", mean_Y),
+                ("body_std_Y", std_Y),
+            )
+        )
 
 
 def _parse_fingers(spec):
@@ -495,9 +572,15 @@ def main(args):
         and on_disk.get("counts") == SCALES[args.scale]
     ):
         data_dir = os.path.join(work, "video_data")
+        if "fingerprint" not in on_disk:
+            # one-time upgrade of a pre-fingerprint fixture
+            on_disk["fingerprint"] = _fixture_fingerprint(data_dir)
+            with open(fixture_meta, "w") as f:
+                json.dump(on_disk, f)
         fixture_info = {"source": "synthetic", "resumed": True,
                         "counts": SCALES[args.scale],
-                        "categ_signal": args.signal_fixture}
+                        "categ_signal": args.signal_fixture,
+                        "fingerprint": on_disk["fingerprint"]}
         print(f"[fixture] resumed from {data_dir}", flush=True)
     else:
         data_dir, fixture_info = stage_fixture(args, work)
@@ -510,12 +593,44 @@ def main(args):
     # old data (e.g. --resume with a flipped --signal_fixture or a
     # changed --scale).  User --data_dir is external and unchanged, so
     # stage resume stays valid there.
-    stage_resume_ok = args.data_dir or fixture_info.get("resumed", False)
+    stage_resume_ok = bool(args.data_dir) or fixture_info.get("resumed", False)
+    if args.resume and not stage_resume_ok:
+        # The synthetic fixture is deterministic: a REGENERATED fixture
+        # whose content fingerprint matches the prior report's is
+        # bit-identical to the data the surviving artifacts were
+        # measured against, so stage resume stays valid.
+        prior_fp = (prior.get("fixture") or {}).get("fingerprint")
+        if prior_fp and prior_fp == fixture_info.get("fingerprint"):
+            stage_resume_ok = True
+            print("[resume] regenerated fixture fingerprint matches the "
+                  "prior report — prior stage results stay valid",
+                  flush=True)
     if args.resume and not stage_resume_ok:
         print("[resume] fixture was regenerated — prior stage results/"
               "checkpoints in this work dir refer to the OLD fixture "
               "and will NOT be reused", flush=True)
-        prior, prior_cfgs = {}, {}
+        # Legacy fallback (prior report predates the fingerprint): a
+        # config's train entry may still be trusted if the stats npz its
+        # training wrote is bitwise-reproduced by the regenerated data
+        # (_stats_npz_matches).  Classifier/inference prior entries are
+        # NOT kept — their on-disk result pickles were wiped with the
+        # work dir and re-run from the validated checkpoint anyway.
+        if not (prior.get("fixture") or {}).get("fingerprint"):
+            kept = {}
+            for name, pe in prior_cfgs.items():
+                cfg = next((c for c in CONFIGS if c["name"] == name), None)
+                if (
+                    cfg is not None
+                    and "train" in pe
+                    and _stats_npz_matches(cfg, data_dir, model_dir)
+                ):
+                    kept[name] = {"train": pe["train"]}
+                    print(f"[resume] {name}: stats npz bitwise-matches the "
+                          "regenerated fixture — trusting the prior train "
+                          "entry", flush=True)
+            prior, prior_cfgs = ({"configs": kept} if kept else {}), kept
+        else:
+            prior, prior_cfgs = {}, {}
 
     report["configs"] = {}
     selected = (
