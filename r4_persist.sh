@@ -16,20 +16,22 @@
 P=/root/repo/r4_persist
 mkdir -p "$P"
 
-# mirror_work <dirname> <tag>: fixture tar once, state tar refreshed
+# mirror_work <dirname> <tag>: small state tar, refreshed every pass.
+# The fixture is NOT mirrored anymore: r4_persist/ is no longer
+# gitignored (so it survives restores), which means anything here may
+# be auto-committed at round end — and the fixture is deterministic,
+# cheap to regenerate, and validated on resume by the content
+# fingerprint in article_replay.py.  Result pickles (results_*/) are
+# likewise excluded: re-inference from a validated checkpoint is
+# minutes, while checkpoints/metrics are hours of training.  Only
+# models/ (checkpoints, stats npz, metrics JSONLs) and the small
+# sel_indices pickles ride along (~tens of MB).
 mirror_work() {
   local NAME=$1 TAG=$2 W=/root/repo/$1
-  if [ -f "$W/video_data/r6d_train.pkl" ] && [ -f "$W/video_data/r6d_test.pkl" ] \
-     && [ ! -f "$P/fixture$TAG.tar" ]; then
-    # only once the last-written split exists (writer order: train,val,test)
-    tar -C /root/repo -cf "$P/fixture$TAG.tar.tmp" "$NAME/video_data" \
-      && mv "$P/fixture$TAG.tar.tmp" "$P/fixture$TAG.tar"
-  fi
-  if [ -d "$W" ]; then
-    tar -C /root/repo -cf "$P/state$TAG.tar.tmp" \
-        --exclude="$NAME/video_data" \
-        --exclude="$NAME/raw_tree" \
-        "$NAME" 2>/dev/null \
+  if [ -d "$W/models" ]; then
+    local SEL
+    SEL=$(cd /root/repo && find "$NAME" -name 'sel_indices_*.pkl' 2>/dev/null)
+    tar -C /root/repo -cf "$P/state$TAG.tar.tmp" "$NAME/models" $SEL 2>/dev/null \
       && mv "$P/state$TAG.tar.tmp" "$P/state$TAG.tar"
   fi
 }

@@ -198,3 +198,81 @@ def test_article_replay_signal_fixture(tmp_path):
     # fixture, so training must re-run rather than resume (r4 review)
     for entry in regen["configs"].values():
         assert entry["train"].get("resumed") is not True
+
+
+@pytest.mark.slow
+def test_article_replay_resume_after_fixture_wipe(tmp_path):
+    """A sandbox restore deletes the gitignored fixture mid-run; --resume
+    must regenerate it and — because the synthetic fixture is
+    deterministic — keep the surviving checkpoint, via the content
+    fingerprint recorded in the report, or via the stats-npz bitwise
+    match for reports that predate the fingerprint.  A tampered stats
+    npz must fail validation and re-train (observed Aug 19: a restore
+    wiped the signal fixture + metrics with a finished 50-epoch
+    checkpoint on disk)."""
+    import shutil
+
+    import article_replay
+
+    out = str(tmp_path / "AR.json")
+    work = tmp_path / "work"
+    argv = [
+        "--scale", "tiny",
+        "--epochs", "1",
+        "--batch_size", "8",
+        "--num_samples", "8",
+        "--work_dir", str(work),
+        "--out", out,
+        "--skip_raw_smoke",
+        "--skip_classifier",
+        "--configs", "arm2wh_v1_L1",
+    ]
+    args = article_replay.build_parser().parse_args(argv)
+    first = article_replay.main(args)
+    fentry = first["configs"]["arm2wh_v1_L1"]
+    fp = first["fixture"]["fingerprint"]
+    l1_0 = fentry["inference"]["L1"]
+
+    # 1. fingerprint path: fixture wiped, regenerated bit-identical
+    shutil.rmtree(work / "video_data")
+    args.resume = True
+    second = article_replay.main(args)
+    assert "resumed" not in second["fixture"]  # actually regenerated
+    assert second["fixture"]["fingerprint"] == fp
+    sentry = second["configs"]["arm2wh_v1_L1"]
+    assert sentry["train"] == fentry["train"]  # prior entry trusted
+
+    # 2. legacy fallback: prior report has no fingerprint; fixture,
+    # results AND metrics wiped (the restore's actual damage) — the
+    # stats npz bitwise match validates the surviving checkpoint, and
+    # re-inference reproduces the original L1s exactly
+    rep = json.load(open(out))
+    rep["fixture"].pop("fingerprint")
+    with open(out, "w") as f:
+        json.dump(rep, f)
+    shutil.rmtree(work / "video_data")
+    shutil.rmtree(work / "results_arm2wh_v1_L1")
+    os.remove(work / "models" / "metrics_arm2wh_v1_L1.jsonl")
+    third = article_replay.main(args)
+    tentry = third["configs"]["arm2wh_v1_L1"]
+    assert tentry["train"] == fentry["train"]
+    for split in ("train", "val", "test"):
+        assert tentry["inference"]["L1"][split] == pytest.approx(
+            l1_0[split], rel=1e-6
+        )
+
+    # 3. negative: a tampered stats npz must NOT validate — training
+    # re-runs instead of trusting the stale checkpoint
+    rep = json.load(open(out))
+    rep["fixture"].pop("fingerprint", None)
+    with open(out, "w") as f:
+        json.dump(rep, f)
+    npz_path = work / "models" / "arm2wh_v1_L1arm2wh_preprocess_core.npz"
+    z = dict(np.load(npz_path))
+    z["body_mean_X"] = z["body_mean_X"] + 1e-3
+    np.savez_compressed(npz_path, **z)
+    shutil.rmtree(work / "video_data")
+    fourth = article_replay.main(args)
+    qentry = fourth["configs"]["arm2wh_v1_L1"]
+    assert qentry["train"].get("resumed") is not True
+    assert qentry["train"]["wall_s"] != fentry["train"]["wall_s"]
