@@ -1,45 +1,50 @@
 #!/bin/bash
-# Round-4 artifact persistence loop.
+# Replay artifact persistence loop (rounds 4+).
 #
 # The sandbox snapshot/restore drops GITIGNORED paths (observed Aug 18:
 # a restore at 11:10 UTC kept untracked-but-not-ignored files like
 # article_replay_work_r4.log but deleted article_replay_work/ entirely,
 # losing the 31k-clip fixture and a finished 200-epoch checkpoint).
 # This loop mirrors the expensive-to-recreate replay artifacts into
-# r4_persist/ as single tar files whose names match no .gitignore
-# pattern, so they ride along in snapshots.  r4_restore.sh untars them.
+# r4_persist/ (NOT gitignored, so it survives restores) as single tar
+# files.  r4_restore.sh untars them.
 #
-#   fixture.tar  — article_replay_work/video_data (written once; the
-#                  synthetic fixture is deterministic but costs ~490 s)
-#   state.tar    — models/checkpoints/metrics/results/classifier dirs
-#                  (refreshed every 10 min; hours of training to redo)
+# Only small state rides along (~tens of MB): models/ (checkpoints,
+# stats npz, metrics JSONLs) + sel_indices pickles.  Fixtures are
+# deterministic and fingerprint-validated on resume; results_*/ is
+# re-inferable from a checkpoint in minutes.  A refreshed tar is only
+# installed when its bytes actually changed (end-of-round snapshots
+# auto-commit this dir — an unconditional refresh would append a new
+# ~80MB non-delta-friendly blob to git history every round).
 P=/root/repo/r4_persist
+LOG=/root/repo/r4_persist.log
 mkdir -p "$P"
 
-# mirror_work <dirname> <tag>: small state tar, refreshed every pass.
-# The fixture is NOT mirrored anymore: r4_persist/ is no longer
-# gitignored (so it survives restores), which means anything here may
-# be auto-committed at round end — and the fixture is deterministic,
-# cheap to regenerate, and validated on resume by the content
-# fingerprint in article_replay.py.  Result pickles (results_*/) are
-# likewise excluded: re-inference from a validated checkpoint is
-# minutes, while checkpoints/metrics are hours of training.  Only
-# models/ (checkpoints, stats npz, metrics JSONLs) and the small
-# sel_indices pickles ride along (~tens of MB).
+# mirror_work <dirname> <tag>: refresh state tar iff content changed.
 mirror_work() {
   local NAME=$1 TAG=$2 W=/root/repo/$1
-  if [ -d "$W/models" ]; then
-    local SEL
-    SEL=$(cd /root/repo && find "$NAME" -name 'sel_indices_*.pkl' 2>/dev/null)
-    tar -C /root/repo -cf "$P/state$TAG.tar.tmp" "$NAME/models" $SEL 2>/dev/null \
-      && mv "$P/state$TAG.tar.tmp" "$P/state$TAG.tar"
+  [ -d "$W/models" ] || return 0
+  local TMP="$P/state$TAG.tar.tmp" OUT="$P/state$TAG.tar"
+  # NUL-safe file list: models dir + sel_indices pickles.
+  if ! (cd /root/repo && {
+          printf '%s\0' "$NAME/models"
+          find "$NAME" -maxdepth 2 -name 'sel_indices_*.pkl' -print0
+        } | tar --null -T - -cf "$TMP") 2>>"$LOG"; then
+    echo "$(date -u +%FT%TZ) tar failed for $NAME (see above)" >>"$LOG"
+    rm -f "$TMP"
+    return 1
+  fi
+  if [ -f "$OUT" ] && cmp -s "$TMP" "$OUT"; then
+    rm -f "$TMP"            # unchanged — keep the committed blob stable
+  else
+    mv "$TMP" "$OUT"
   fi
 }
 
 while true; do
   mirror_work article_replay_work ""
   mirror_work article_replay_work_signal "_signal"
-  cp /root/repo/ARTICLE_REPLAY.json "$P/ARTICLE_REPLAY.json" 2>/dev/null
-  cp /root/repo/ARTICLE_REPLAY_signal.json "$P/ARTICLE_REPLAY_signal.json" 2>/dev/null
+  cp /root/repo/ARTICLE_REPLAY.json "$P/ARTICLE_REPLAY.json" 2>>"$LOG" || true
+  cp /root/repo/ARTICLE_REPLAY_signal.json "$P/ARTICLE_REPLAY_signal.json" 2>>"$LOG" || true
   sleep 600
 done
