@@ -98,6 +98,52 @@ def make_openpose_tree(
     }
 
 
+# --- finger_signal chain constants (see make_r6d_dataset docstring) ---
+_N_HAND_AA = 126  # 42 hand bones x 3 aa channels (cols 18..144)
+_CHAIN_RHO = 0.985  # per-channel-step correlation: info decays ~rho^d
+_CHAIN_ALPHA = 0.6  # innovation share that is text-predictable
+
+
+def _finger_chain(frng, T):
+    """One clip's hand-channel Markov chain (T, 126) plus the clip-level
+    latent parameters theta (27,) that the text embeddings carry.
+
+    All series have marginal variance ~0.5 (unit-amplitude sinusoids
+    with uniform random phase), so the chain is variance-stationary:
+    the conditional std of channel j given the nearest visible channel
+    at distance d is sqrt(1 - rho^(2d)) of its marginal std — the
+    monotone-in-d error floor the finger-masking trend measures."""
+    t = np.arange(T, dtype=np.float64)[:, None]
+    a = frng.uniform(0.7, 1.3, size=6)
+    w = frng.uniform(0.05, 0.45, size=6)
+    p = frng.uniform(0, 2 * np.pi, size=6)
+    wu = frng.uniform(0.1, 0.5)
+    pu = frng.uniform(0, 2 * np.pi)
+    we = frng.uniform(0.05, 0.6, size=_N_HAND_AA)
+    pe = frng.uniform(0, 2 * np.pi, size=_N_HAND_AA)
+    z = a * np.sin(w * t + p)  # (T, 6) smooth per-clip latent driver
+    s = z.sum(axis=1) / np.sqrt(6.0)  # chain root, var ~ 0.5
+    j = np.arange(_N_HAND_AA, dtype=np.float64)
+    u = np.sin(wu * t + pu + 0.35 * j)  # text-predictable innovations
+    eta = np.sin(we * t + pe)  # private per-channel noise
+    innov = _CHAIN_ALPHA * u + np.sqrt(1.0 - _CHAIN_ALPHA**2) * eta
+    c = np.sqrt(1.0 - _CHAIN_RHO**2)
+    S = np.empty((T, _N_HAND_AA))
+    for jj in range(_N_HAND_AA):
+        s = _CHAIN_RHO * s + c * innov[:, jj]
+        S[:, jj] = s
+    theta = np.concatenate(
+        [
+            (a - 1.0) / 0.3,
+            (w - 0.25) / 0.2,
+            np.sin(p),
+            np.cos(p),
+            [(wu - 0.3) / 0.2, np.sin(pu), np.cos(pu)],
+        ]
+    )
+    return S, theta
+
+
 def make_r6d_dataset(
     data_dir: str,
     n_clips: int = 6,
@@ -109,6 +155,7 @@ def make_r6d_dataset(
     save_image_feats: bool = True,
     ik_roundtrip: bool = True,
     categ_signal: bool = False,
+    finger_signal: bool = False,
 ):
     """Write processed pickles for all three splits under `data_dir`.
 
@@ -133,6 +180,29 @@ def make_r6d_dataset(
     tested for actual above-chance learning, not just plumbing.  The
     default-False path consumes the RNG identically with or without this
     flag, so existing fixtures stay byte-identical.
+
+    `finger_signal=True` additionally gives the HAND channels the
+    information structure the incremental finger-masking experiment
+    (article Table 2, /root/reference/launch_exp_incr_fingers.sh:10)
+    needs to show its monotone degradation: each hand aa-channel j
+    carries a stationary Markov chain over the channel index,
+
+        s_j(t) = rho * s_{j-1}(t) + sqrt(1-rho^2) * innov_j(t),
+
+    rooted in a per-clip smooth latent z(t) whose parameters are ALSO
+    linearly embedded into the sentence embeddings (so text conditioning
+    genuinely helps), with innovations split between a text-predictable
+    component u_j(t) and private per-channel noise eta_j(t).  Because
+    arm_wh2fingerK masks the LAST 4K hand bones (utils/constants.py
+    FEATURE_MAP) and chain information decays geometrically with
+    distance from the nearest visible channel, the best achievable
+    masked-channel L1 rises STRICTLY with K — masking more fingers
+    destroys recoverable signal, which is exactly Table 2's shape
+    (0.320 -> 0.418 over the sweep).  Hand-channel amplitudes are scaled
+    so per-bone axis-angle norms stay below pi (the aa -> r6d map is
+    injective only under pi; folds would scramble the chain's
+    information decay).  Consumes only side-stream RNGs, so
+    categ_signal-only fixtures stay byte-identical.
     """
     os.makedirs(data_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -146,6 +216,12 @@ def make_r6d_dataset(
             n = int(split_counts[split])
         else:
             n = n_clips if split == "train" else max(2, n_clips // 2)
+        frng = (
+            np.random.RandomState(seed * 1000003 + 9100 + SPLITS.index(split))
+            if finger_signal
+            else None
+        )
+        thetas = []
         aa_clips = []
         for i in range(n):
             T = int(rng.randint(*t_range))
@@ -154,6 +230,7 @@ def make_r6d_dataset(
                 np.linspace(0, 6, T)[:, None] + rng.uniform(0, 3, size=(1, 144))
             )
             clip = base + wob
+            csig = None
             if categ_signal:
                 # class k's signature: a per-class mean angular offset
                 # (readable at any timestep) plus a distinct per-frame
@@ -165,7 +242,24 @@ def make_r6d_dataset(
                 omega = 0.15 + 0.12 * k
                 t = np.arange(T, dtype=np.float64)[:, None]
                 c = np.arange(144, dtype=np.float64)[None, :]
-                clip = clip + 0.08 * k + 0.35 * np.sin(omega * t + 0.5 * c)
+                csig = 0.08 * k + 0.35 * np.sin(omega * t + 0.5 * c)
+            if finger_signal:
+                S, theta = _finger_chain(frng, T)
+                thetas.append(theta)
+                # hand channels (bones 6..47 -> aa cols 18..144): damped
+                # base/wob plus the chain; amplitudes keep per-bone |aa|
+                # under pi so no rotation fold scrambles the chain.  Arm
+                # channels (cols 0..18) keep the full class signature —
+                # the classifier surrogate stays discriminative.
+                clip[:, 18:] = (
+                    0.25 * base[:, 18:] + 0.5 * wob[:, 18:] + 0.8 * S
+                )
+                if csig is not None:
+                    csig = csig * np.concatenate(
+                        [np.ones(18), np.full(_N_HAND_AA, 0.35)]
+                    )[None, :]
+            if csig is not None:
+                clip = clip + csig
             aa_clips.append(clip.astype(np.float32))
         xyz = kinematics.aa_to_xyz(aa_clips, root, bone_len, structure)
         # ik_roundtrip maps the angles through IK's canonical form (what
@@ -187,6 +281,16 @@ def make_r6d_dataset(
             embeds = embeds + 2.0 * cents[
                 np.arange(n) % 9
             ].astype(np.float32)
+        if finger_signal:
+            # the chain's clip-level latent parameters ride in the text
+            # embeddings through a fixed projection (side-stream RNG), so
+            # text conditioning carries genuine finger-channel info — the
+            # article's premise that language helps hand enhancement
+            proj = np.random.RandomState(seed + 5151).randn(27, text_dim)
+            proj /= np.sqrt(27.0)
+            embeds = embeds + 1.5 * (
+                np.stack(thetas) @ proj
+            ).astype(np.float32)
         save_binary(embeds, os.path.join(data_dir, f"{split}_sentence_embeddings.pkl"))
         save_binary(
             np.tile(embeds.mean(axis=0), (n, 1)),

@@ -207,3 +207,118 @@ def load_torch_checkpoint(path: str):
 
     loaded = torch.load(path, map_location="cpu", weights_only=False)
     return {k: v.numpy() for k, v in loaded["state_dict"].items()}, loaded
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: this framework's pytrees -> reference torch state_dicts.
+# Exact inverses of the importers above, so checkpoints interchange BOTH ways:
+# a model trained here can be loaded by the reference's own
+# inference.py:34-44 ``model.load_state_dict(...)`` unchanged.
+
+
+def _conv_rev(out, block):
+    return {
+        f"{out}.weight": np.ascontiguousarray(
+            np.transpose(np.asarray(block["kernel"]), (2, 1, 0))
+        ),  # flax (k, in, out) -> torch (out, in, k)
+        f"{out}.bias": np.asarray(block["bias"]),
+    }
+
+
+def _convT_rev(out, block):
+    return {
+        f"{out}.weight": np.ascontiguousarray(
+            np.transpose(np.asarray(block["kernel"]), (1, 2, 0))
+        ),  # flax (k, in, out) -> torch (in, out, k)
+        f"{out}.bias": np.asarray(block["bias"]),
+    }
+
+
+def _dense_rev(out, block):
+    return {
+        f"{out}.weight": np.ascontiguousarray(
+            np.transpose(np.asarray(block["kernel"]), (1, 0))
+        ),
+        f"{out}.bias": np.asarray(block["bias"]),
+    }
+
+
+def _bn_rev(out, bn_params, bn_stats):
+    # torch BN carries a num_batches_tracked buffer that flax has no
+    # analogue for; 0 is correct for eval (running stats are used as-is)
+    return {
+        f"{out}.weight": np.asarray(bn_params["scale"]),
+        f"{out}.bias": np.asarray(bn_params["bias"]),
+        f"{out}.running_mean": np.asarray(bn_stats["mean"]),
+        f"{out}.running_var": np.asarray(bn_stats["var"]),
+        f"{out}.num_batches_tracked": np.asarray(0, dtype=np.int64),
+    }
+
+
+def _conv_block_rev(name, params, stats, conv_idx=1, bn_idx=3):
+    sd = _conv_rev(f"{name}.{conv_idx}", params["Conv1d_0"])
+    sd.update(
+        _bn_rev(f"{name}.{bn_idx}", params["BatchNorm_0"],
+                stats["BatchNorm_0"])
+    )
+    return sd
+
+
+def generator_to_torch_state(variables) -> dict:
+    """{'params', 'batch_stats'} pytree -> reference torch state_dict.
+
+    Inverse of :func:`generator_from_torch_state`; round-trips bitwise
+    (the transposes are their own inverses).  Key layout matches the
+    reference modelZoo.py Sequential indices, so the produced dict loads
+    with ``strict=True``."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: dict = {}
+    for name in _GEN_BLOCKS:
+        if name in params:
+            sd.update(_conv_block_rev(name, params[name], stats[name]))
+    for feat_key in ("text_embeds_postprocess", "image_resnet_postprocess"):
+        if feat_key in params:
+            sd.update(_dense_rev(f"{feat_key}.1", params[feat_key]["Dense_0"]))
+            sd.update(
+                _bn_rev(f"{feat_key}.3", params[feat_key]["BatchNorm_0"],
+                        stats[feat_key]["BatchNorm_0"])
+            )
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    sd.update(_conv_block_rev("decoder", dec_p["ConvBlock_0"],
+                              dec_s["ConvBlock_0"], 1, 3))
+    sd.update(_convT_rev("decoder.5", dec_p["ConvTranspose1d_0"]))
+    sd.update(_bn_rev("decoder.7", dec_p["BatchNorm_0"], dec_s["BatchNorm_0"]))
+    sd.update(_conv_rev("decoder.9", dec_p["Conv1d_0"]))
+    return sd
+
+
+def discriminator_to_torch_state(variables) -> dict:
+    """Inverse of :func:`discriminator_from_torch_state` (convs.<i> keys)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: dict = {}
+    for i in range(7):
+        conv_idx = 1 + 4 * i
+        sd.update(
+            _conv_block_rev("convs", params[f"block{i}"], stats[f"block{i}"],
+                            conv_idx, conv_idx + 2)
+        )
+    sd.update(_conv_rev("convs.29", params["final"]))
+    return sd
+
+
+def save_torch_checkpoint(path: str, state_dict: dict, epoch: int = 0):
+    """Write a ``.pth`` in the reference's checkpoint shape
+    ({'epoch', 'state_dict'}, train_gan.py:353-370) so the reference's
+    inference.py:34-44 consumes it unchanged (requires torch)."""
+    import torch
+
+    torch.save(
+        {
+            "epoch": int(epoch),
+            "state_dict": {
+                k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in state_dict.items()
+            },
+        },
+        path,
+    )

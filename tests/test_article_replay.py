@@ -75,6 +75,7 @@ def test_article_replay_tiny(tmp_path):
             "--finger_epochs", "2",
             "--reference_classifier",
             "--reference_classifier_epochs", "1",
+            "--anomaly_controls",
         ]
     )
     report = article_replay.main(args)
@@ -83,6 +84,12 @@ def test_article_replay_tiny(tmp_path):
     on_disk = json.load(open(out))
     # per-stage flushing ends with the completion marker set
     assert on_disk["completed"] is True
+    # the report is self-describing: fixture semantics + chance level
+    # readable without STATUS.md (VERDICT r4 weak #3)
+    notes = on_disk["fixture_notes"]
+    assert notes["classifier_chance_acc"] == pytest.approx(1 / 9, abs=1e-3)
+    assert "signal-free" in notes["labels"]
+    assert "FLAT" in notes["fingers"]
     assert set(on_disk["configs"]) == {
         "arm2wh_v1_L1", "arm_wh2finger1_v2_text_RobustLoss"
     }
@@ -90,15 +97,27 @@ def test_article_replay_tiny(tmp_path):
         for split in ("train", "val", "test"):
             assert np.isfinite(entry["inference"]["L1"][split])
         assert entry["train"]["wall_s"] > 0
+        # determinism identities are self-documenting (VERDICT r4 weak #2)
+        assert entry["train"]["best_val_epoch"] is not None
     # the surrogate eval ran on both GT and enhanced sequences + text MLP,
-    # like-for-like: both see the same window subset ("windows" counts)
+    # like-for-like: both see the same window subset ("windows" counts);
+    # the anomaly controls separate arm-borne vs hand-borne label signal
     assert set(on_disk["classifier"]) == {
         "ground_truth_r6d", "enhanced_r6d", "enhanced_r6d_reference_config",
-        "text_mlp", "windows",
+        "text_mlp", "windows", "anomaly_controls",
+    }
+    controls = on_disk["classifier"]["anomaly_controls"]
+    assert set(controls) == {
+        "gt_arms_only", "gt_hands_only", "enhanced_hands_only", "explanation"
     }
     for key, rec in on_disk["classifier"].items():
         if key == "windows":
             assert rec["train"] > 0 and rec["val"] > 0
+            continue
+        if key == "anomaly_controls":
+            for tag in ("gt_arms_only", "gt_hands_only",
+                        "enhanced_hands_only"):
+                assert 0.0 <= rec[tag]["best_val_acc"] <= 1.0
             continue
         assert 0.0 <= rec["best_val_acc"] <= 1.0
     # reference hyperparameters actually reached the classifier stage
@@ -155,12 +174,16 @@ def test_article_replay_signal_fixture(tmp_path):
         "--skip_raw_smoke",
         "--skip_classifier",
         "--signal_fixture",
+        "--finger_signal",
     ]
     args = article_replay.build_parser().parse_args(argv)
     report = article_replay.main(args)
     assert report["fixture"]["categ_signal"] is True
+    assert report["fixture"]["finger_signal"] is True
+    assert "Markov chain" in report["fixture_notes"]["fingers"]
     meta = json.load(open(work / "video_data" / "fixture_meta.json"))
     assert meta["categ_signal"] is True
+    assert meta["finger_signal"] is True
     # the signal fixture differs from the default one (same seed)
     import pickle
 

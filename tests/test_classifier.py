@@ -84,6 +84,84 @@ def test_signal_fixture_default_path_unchanged(tmp_path):
     )
 
 
+def test_finger_signal_changes_hands_and_embeds(tmp_path):
+    """finger_signal=True rewrites the hand channels (Markov chain) and
+    injects the chain's clip latents into the sentence embeddings, while
+    consuming only side-stream RNGs (categ-only fixtures unchanged)."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    kw = dict(n_clips=4, t_range=(40, 80), seed=5, save_image_feats=False,
+              ik_roundtrip=False, categ_signal=True)
+    synthetic.make_r6d_dataset(a, **kw)
+    synthetic.make_r6d_dataset(b, finger_signal=True, **kw)
+    ra = load_binary(f"{a}/r6d_train.pkl")
+    rb = load_binary(f"{b}/r6d_train.pkl")
+    # hands differ, and the MAIN rng stream was not consumed differently:
+    # clip lengths (frame counts) match pairwise
+    assert [len(x) for x in ra] == [len(x) for x in rb]
+    assert not np.allclose(ra[0], rb[0])
+    ea = np.asarray(load_binary(f"{a}/train_sentence_embeddings.pkl"))
+    eb = np.asarray(load_binary(f"{b}/train_sentence_embeddings.pkl"))
+    assert ea.shape == eb.shape and not np.allclose(ea, eb)
+
+
+@pytest.mark.slow
+def test_finger_signal_monotone_masking_trend(tmp_path):
+    """The finger_signal fixture must reproduce article Table 2's SHAPE:
+    masking more fingers (arm_wh2fingerK, K up) strictly raises the best
+    achievable masked-channel L1, because chain information decays with
+    distance from the nearest visible channel (data/synthetic.py).
+    Probed with a closed-form per-frame ridge regressor — if even the
+    optimal linear readout shows the monotone degradation, the GAN trend
+    measured by article_replay --fingers is testing a property the data
+    actually has.  Reference: launch_exp_incr_fingers.sh:10, Table 2
+    (monotone 0.320 -> 0.418)."""
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data import (
+        standardize as std_lib,
+        windows as win,
+    )
+    from multimodal_hand_pose_enhancement_for_sign_language_tpu.data.io import (
+        load_binary,
+    )
+
+    d = str(tmp_path / "video_data")
+    synthetic.make_r6d_dataset(
+        d, split_counts={"train": 200, "val": 60, "test": 2}, seed=7,
+        save_image_feats=False, ik_roundtrip=False,
+        categ_signal=True, finger_signal=True,
+    )
+    Wtr = win.make_equal_len(load_binary(f"{d}/r6d_train.pkl"),
+                             method="cutting+reflect", maxpad=192)
+    Wva = win.make_equal_len(load_binary(f"{d}/r6d_val.pkl"),
+                             method="cutting+reflect", maxpad=192)
+
+    def stdz(A, m, s):
+        return (A - np.asarray(m).reshape(1, 1, -1)) / np.asarray(s).reshape(
+            1, 1, -1
+        )
+
+    l1s = []
+    for k in (1, 3, 5):
+        pipe = f"arm_wh2finger{k}"
+        xc, yc = win.pipeline_column_slices(pipe)
+        mX, sX, mY, sY = std_lib.calc_standard(
+            np.swapaxes(Wtr[:, :, xc], 1, 2),
+            np.swapaxes(Wtr[:, :, yc], 1, 2), pipe,
+        )
+        F = stdz(Wtr[:, :, xc], mX, sX).reshape(-1, xc.stop - xc.start)
+        G = stdz(Wtr[:, :, yc], mY, sY).reshape(-1, 288 - yc.start)
+        lam = 1e-3 * F.shape[0]
+        A = np.linalg.solve(F.T @ F + lam * np.eye(F.shape[1]), F.T @ G)
+        b = G.mean(0) - F.mean(0) @ A
+        P = stdz(Wva[:, :, xc], mX, sX).reshape(-1, F.shape[1]) @ A + b
+        Gva = stdz(Wva[:, :, yc], mY, sY).reshape(-1, G.shape[1])
+        l1s.append(float(np.abs(P - Gva).mean()))
+    assert l1s[0] < l1s[1] < l1s[2], f"trend not monotone: {l1s}"
+
+
 @pytest.mark.slow
 def test_lstm_classifier_learns_signal_fixture(tmp_path):
     """The §5.2 surrogate evaluation is more than plumbing: on a fixture

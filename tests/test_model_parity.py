@@ -270,6 +270,118 @@ def test_matmul_precision_overrides(rng):
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def _randomize_variables(variables, rng):
+    """Fresh random leaves (BN var kept positive) so the export parity
+    check is non-trivial — init-state BN stats are all-zero/one."""
+    from jax.tree_util import tree_map_with_path
+
+    def f(path, leaf):
+        if getattr(path[-1], "key", "") == "var":
+            return (1.0 + 0.1 * rng.rand(*leaf.shape)).astype(np.float32)
+        return (rng.randn(*leaf.shape) * 0.1).astype(np.float32)
+
+    return tree_map_with_path(f, variables)
+
+
+def _assert_trees_bitwise(a, b):
+    fa = {str(p): np.asarray(l)
+          for p, l in jax.tree_util.tree_leaves_with_path(a)}
+    fb = {str(p): np.asarray(l)
+          for p, l in jax.tree_util.tree_leaves_with_path(b)}
+    assert set(fa) == set(fb)
+    for p in fa:
+        np.testing.assert_array_equal(fa[p], fb[p], err_msg=p)
+
+
+@pytest.mark.parametrize(
+    "key,cls,with_feats",
+    [("v1", "regressor_fcn_bn_32", False),
+     ("v2", "regressor_fcn_bn_32_v2", True)],
+)
+def test_reverse_checkpoint_export(rng, key, cls, with_feats, tmp_path):
+    """Checkpoint interchange in the EXPORT direction (VERDICT r4 #8):
+    a generator trained HERE must load into the reference's own torch
+    model via strict load_state_dict (inference.py:34-44) and produce
+    the same eval output; import(export(v)) must round-trip bitwise."""
+    module = registry.build_generator(
+        key, IN_DIM, OUT_DIM, require_text=with_feats, default_size=DS
+    )
+    variables = _randomize_variables(
+        registry.init_generator(module, jax.random.PRNGKey(0), batch=2, T=T),
+        rng,
+    )
+
+    sd = torch_port.generator_to_torch_state(variables)
+    # bitwise round-trip through the existing importer
+    _assert_trees_bitwise(variables, torch_port.generator_from_torch_state(sd))
+
+    # the reference's serving path consumes it unchanged (strict=True)
+    torch.manual_seed(0)
+    ref_model = getattr(ref_zoo, cls)()
+    ref_model.build_net(IN_DIM, OUT_DIM, require_text=with_feats,
+                        default_size=DS)
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    )
+    ref_model.eval()
+    x = rng.randn(B, IN_DIM, T).astype(np.float32)
+    feats = rng.randn(B, 512).astype(np.float32) if with_feats else None
+    with torch.no_grad():
+        t_feats = None if feats is None else torch.from_numpy(feats)
+        ref_out = ref_model(torch.from_numpy(x), feats_=t_feats).numpy()
+    ours = np.asarray(
+        registry.apply_bdt(module, variables, x, feats=feats, train=False)
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-4)
+
+    # and the CLI --reverse path writes a .pth torch.load round-trips
+    if key == "v1":
+        import port_torch_checkpoint
+        from multimodal_hand_pose_enhancement_for_sign_language_tpu.train import (
+            checkpoint as ckpt_lib,
+        )
+
+        pkl = str(tmp_path / "ck.pkl")
+        pth = str(tmp_path / "ck.pth")
+        ckpt_lib.save_checkpoint(pkl, {
+            "epoch": 7,
+            "state": {"g_params": variables["params"],
+                      "g_stats": variables["batch_stats"]},
+        })
+        ns = port_torch_checkpoint.argparse.Namespace(
+            input=pkl, output=pth, discriminator="", reverse=True
+        )
+        port_torch_checkpoint.main(ns)
+        loaded = torch.load(pth, map_location="cpu", weights_only=False)
+        assert loaded["epoch"] == 7
+        ref_model.load_state_dict(loaded["state_dict"])
+
+
+def test_reverse_discriminator_export(rng):
+    """Discriminator export direction: strict torch load + eval parity."""
+    module = registry.build_discriminator(OUT_DIM)
+    v = module.init(
+        {"params": jax.random.PRNGKey(0)},
+        np.zeros((2, T - 1, OUT_DIM), np.float32), False,
+    )
+    variables = _randomize_variables(v, rng)
+    sd = torch_port.discriminator_to_torch_state(variables)
+    _assert_trees_bitwise(variables,
+                          torch_port.discriminator_from_torch_state(sd))
+    torch.manual_seed(0)
+    ref_model = ref_zoo.regressor_fcn_bn_discriminator()
+    ref_model.build_net(OUT_DIM)
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    )
+    ref_model.eval()
+    x = rng.randn(B, OUT_DIM, T - 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x)).numpy()
+    ours = np.asarray(registry.apply_disc_bdt(module, variables, x, train=False))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-4)
+
+
 def test_train_mode_updates_batch_stats(rng):
     module = registry.build_generator("v1", IN_DIM, OUT_DIM, default_size=DS)
     variables = registry.init_generator(module, jax.random.PRNGKey(0), batch=B, T=T)
