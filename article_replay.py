@@ -267,12 +267,17 @@ def _metrics_best_val_epoch(metrics_path):
     200-epoch best-val epoch is < 50 their best_val values are
     float-identical BY CONSTRUCTION — VERDICT r4 weak #2 flagged that
     identity as looking like a copied entry without this field."""
-    best, best_epoch = None, None
+    best, best_epoch, cur_epoch = None, None, None
     for rec in _last_run_records(metrics_path):
-        if "loss_val_gen" in rec and "epoch" in rec:
+        if "epoch" in rec:
+            cur_epoch = int(rec["epoch"])
+        if "loss_val_gen" in rec:
+            # train_gan logs the val loss as its OWN record right after
+            # the epoch's train record (see utils/metrics.py usage), so
+            # attribute it to the most recent epoch seen.
             v = float(rec["loss_val_gen"])
             if best is None or v < best:
-                best, best_epoch = v, int(rec["epoch"])
+                best, best_epoch = v, cur_epoch
     return best_epoch
 
 

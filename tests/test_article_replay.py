@@ -54,6 +54,31 @@ def test_metrics_helpers_use_last_run_only(tmp_path):
     assert article_replay._metrics_best_val(p) == 1.0
 
 
+def test_metrics_best_val_epoch_split_records(tmp_path):
+    """train_gan logs the val loss as its OWN JSONL record right after
+    the epoch's train record (no 'epoch' key on the val record) —
+    _metrics_best_val_epoch must attribute it to the most recent epoch
+    seen, not require both keys in one record (r5 fix: the article-scale
+    config-1 run recorded best_val_epoch=None)."""
+    import article_replay
+
+    p = tmp_path / "metrics.jsonl"
+    vals = [5.0, 3.0, 4.0]  # best at epoch 1
+    with open(p, "w") as f:
+        f.write(json.dumps({"event": "config", "epochs": 3}) + "\n")
+        for e, v in enumerate(vals):
+            f.write(json.dumps({"epoch": e, "loss_train_gen": v + 1}) + "\n")
+            f.write(json.dumps({"loss_val_gen": v}) + "\n")
+    assert article_replay._metrics_best_val(p) == 3.0
+    assert article_replay._metrics_best_val_epoch(p) == 1
+
+    # fused single-record form (older files) keeps working
+    with open(p, "w") as f:
+        for e, v in enumerate(vals):
+            f.write(json.dumps({"epoch": e, "loss_val_gen": v}) + "\n")
+    assert article_replay._metrics_best_val_epoch(p) == 1
+
+
 @pytest.mark.slow
 def test_article_replay_tiny(tmp_path):
     import article_replay
