@@ -133,8 +133,11 @@ def test_article_replay_tiny(tmp_path):
     }
     controls = on_disk["classifier"]["anomaly_controls"]
     assert set(controls) == {
-        "gt_arms_only", "gt_hands_only", "enhanced_hands_only", "explanation"
+        "gt_arms_only", "gt_hands_only", "enhanced_hands_only",
+        "gt_arms_only_long", "explanation",
     }
+    assert controls["gt_arms_only_long"]["epochs"] == \
+        3 * controls["gt_arms_only"]["epochs"]
     for key, rec in on_disk["classifier"].items():
         if key == "windows":
             assert rec["train"] > 0 and rec["val"] > 0
