@@ -64,23 +64,41 @@ def compiled_flops(jitted, *args):
     return float(ca["flops"])
 
 
-def steps_ms(step, make_state, x, y, k1=4, k2=20):
-    """Difference-method ms per step for a donated-state step function."""
+def scan_steps_ms(step_impl, make_state, x, y, k1=32, k2=160):
+    """Difference-method ms per step, with the K steps chained in ONE
+    lax.scan program (one dispatch + one scalar fetch per measurement).
+
+    The per-call Python-loop methodology was measured NOT to survive
+    tunnel variance (TPU_PROBE 'train_step_breakdown' note; a first run
+    of this script under host contention even produced a negative
+    difference): each dispatch pays ~31 ms of jittery tunnel overhead
+    that swamps a ~2-4 ms step.  Scanning K steps on device leaves only
+    two dispatches total per timing, so the k2-k1 difference is pure
+    device time."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(state, xx, yy, k):
+        def body(st, _):
+            st, loss = step_impl(st, xx, yy, None)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, None, length=k)
+        return losses[-1]
+
+    xd, yd = jax.device_put(x), jax.device_put(y)
 
     def run(k):
-        st = make_state()
-        step(st, x, y, None)  # compile against fresh (donatable) state
+        float(run_k(make_state(), xd, yd, k=k))  # compile + warm
 
         def go():
-            s = make_state()
+            st = make_state()
             t0 = time.perf_counter()
-            for _ in range(k):
-                s, loss = step(s, x, y, None)
+            loss = run_k(st, xd, yd, k=k)
             float(loss)  # fetch = sync through the tunnel
             return time.perf_counter() - t0
 
-        go()
-        return min(go() for _ in range(2))
+        return min(go() for _ in range(3))
 
     return (run(k2) - run(k1)) / (k2 - k1) * 1e3
 
@@ -98,9 +116,12 @@ def gan_mfu():
     out = {}
     with jax.default_prng_impl("rbg"):
         tr = GanTrainer(GanConfig(batch_size=Bt))
-        for which, step in (("g_step", tr._g_step), ("d_step", tr._d_step)):
+        for which, step, impl in (
+            ("g_step", tr._g_step, tr._g_step_impl),
+            ("d_step", tr._d_step, tr._d_step_impl),
+        ):
             flops = compiled_flops(step, tr.init_state(), x, y, None)
-            ms = steps_ms(step, tr.init_state, x, y)
+            ms = scan_steps_ms(impl, tr.init_state, x, y)
             tflops = flops / (ms * 1e-3) / 1e12
             out[which] = {
                 "ms": round(ms, 3),
