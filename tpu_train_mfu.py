@@ -100,7 +100,16 @@ def scan_steps_ms(step_impl, make_state, x, y, k1=32, k2=160):
 
         return min(go() for _ in range(3))
 
-    return (run(k2) - run(k1)) / (k2 - k1) * 1e3
+    # Adaptive scan length: the k2-k1 difference must dominate the
+    # per-measurement tunnel fetch jitter (tens of ms; the first
+    # fixed-k run measured a NEGATIVE d_step at k2-k1=128 because a
+    # ~1 ms step leaves only ~140 ms of signal).  Double k2 until the
+    # difference itself exceeds 0.5 s of device time.
+    while True:
+        diff = run(k2) - run(k1)
+        if diff > 0.5 or k2 >= 4096:
+            return diff / (k2 - k1) * 1e3
+        k1, k2 = k2, k2 * 4
 
 
 def gan_mfu():
