@@ -79,11 +79,21 @@ def scan_steps_ms(step_impl, make_state, x, y, k1=32, k2=160):
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(state, xx, yy, k):
-        def body(st, _):
-            st, loss = step_impl(st, xx, yy, None)
+        def body(st, i):
+            # Defeat XLA's while-loop invariant code motion: computations
+            # that depend only on (xx, yy) and loop-invariant carry leaves
+            # get hoisted out of the scan — the first run of this probe
+            # recorded the D step at 1.16x the MXU roofline because the
+            # generator forward (G params never update in a D step) ran
+            # ONCE outside the loop while cost_analysis counted it per
+            # step.  A per-iteration dynamic scale on the inputs keeps
+            # every input-derived computation inside the loop; the scale
+            # itself fuses into the first consumers (~1e-4 of step FLOPs).
+            sc = 1.0 + i.astype(xx.dtype) * 1e-12
+            st, loss = step_impl(st, xx * sc, yy * sc, None)
             return st, loss
 
-        state, losses = jax.lax.scan(body, state, None, length=k)
+        state, losses = jax.lax.scan(body, state, jnp.arange(k))
         return losses[-1]
 
     xd, yd = jax.device_put(x), jax.device_put(y)
