@@ -299,6 +299,76 @@ def _metrics_epochs_done(metrics_path):
     return last + 1
 
 
+def _report_stage_count(rep):
+    """Number of completed stage results a replay report carries."""
+    return (
+        sum("train" in e for e in rep.get("configs", {}).values())
+        + len(rep.get("classifier", {}))
+        + sum("train" in e for e in rep.get("finger_trend", {}).values())
+    )
+
+
+def _load_prior(out_path):
+    """Load the prior report for --resume, preferring whichever of
+    ``out_path`` / ``out_path + '.prior'`` carries more stage results,
+    and refresh the ``.prior`` backup with the winner.
+
+    The report is flushed incrementally and a fresh run's EARLY flushes
+    (fixture stage) contain none of the prior stage entries yet — they
+    only re-enter the on-disk file as each stage re-merges them.  A run
+    killed inside that window leaves a STRIPPED report behind, and a
+    naive restart would silently re-train everything (this happened live
+    in round 5: a killed restart's fixture flush dropped two trained
+    configs + nine classifier stages from the on-disk report).
+    """
+    candidates = []
+    for path in (out_path, out_path + ".prior"):
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    candidates.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                pass  # half-written flush; the other copy decides
+    if not candidates:
+        return {}
+    prior = max(candidates, key=_report_stage_count)
+    if candidates[0] is not prior:
+        print(f"[resume] {out_path} holds fewer stage results than its "
+              ".prior backup (a prior run was killed between the fixture "
+              "flush and stage re-merge) — resuming from the backup",
+              flush=True)
+    if prior:
+        tmp = out_path + ".prior.tmp"
+        with open(tmp, "w") as f:
+            json.dump(prior, f, indent=1)
+        os.replace(tmp, out_path + ".prior")
+    return prior
+
+
+def _reconstitute_last_checkpoint(model_dir, name):
+    """Rebuild a missing ``lastCheckpoint_{name}.pkl`` from the best-val
+    ``{name}_checkpoint.pkl``.
+
+    The trainer's lastCheckpoint is DEFINED as a byte copy of the final
+    best-val checkpoint made after the epoch loop exits (train_gan.py
+    run-end shutil.copyfile; reference train_gan.py:353-370 semantics),
+    so for a COMPLETED run the two files have identical content.  The
+    persist mirror (r4_persist.sh) keeps only ``*_checkpoint.pkl`` to
+    avoid doubling the tar with byte-duplicates; after a sandbox restore
+    the copy is rebuilt here.  Callers must gate on evidence the run
+    completed (a prior report 'train' entry, which is only written after
+    stage_train returns) — for an INTERRUPTED run the best-val file is
+    mid-run state and must NOT be promoted.
+    """
+    last = os.path.join(model_dir, f"lastCheckpoint_{name}.pkl")
+    best = os.path.join(model_dir, f"{name}_checkpoint.pkl")
+    if not os.path.exists(last) and os.path.exists(best):
+        shutil.copyfile(best, last)
+        print(f"[resume] reconstituted {os.path.basename(last)} from the "
+              "best-val checkpoint (completed run; lastCheckpoint is its "
+              "byte copy by construction)", flush=True)
+
+
 def stage_raw_smoke(work):
     """OpenPose JSON tree -> process_dataset --lift -> r6d pickles: the
     raw-data entry of the pipeline, proved end to end at small scale."""
@@ -682,11 +752,16 @@ def main(args):
     os.makedirs(model_dir, exist_ok=True)
     # --resume: reuse stage results from a prior (partial) report, plus
     # on-disk artifacts (fixture pickles, training checkpoints) from an
-    # interrupted run that never got to write its report
-    prior = {}
-    if args.resume and os.path.exists(args.out):
-        with open(args.out) as f:
-            prior = json.load(f)
+    # interrupted run that never got to write its report.
+    #
+    # The report is flushed incrementally and a fresh run's EARLY flushes
+    # (fixture stage) contain none of the prior stage entries yet — they
+    # only re-enter the on-disk file as each stage re-merges them.  A run
+    # killed inside that window leaves a STRIPPED report behind, and a
+    # naive restart would silently re-train everything.  So: keep a
+    # `.prior` backup, load whichever copy carries more stage results,
+    # and refresh the backup before the first destructive flush.
+    prior = _load_prior(args.out) if args.resume else {}
     prior_cfgs = prior.get("configs", {})
     report = {
         "scale": args.scale if not args.data_dir else "user-data",
@@ -866,6 +941,8 @@ def main(args):
         # npz on disk — a prior-report train entry whose files were lost
         # (cleaned work dir from an earlier round) must re-train, not be
         # trusted, or every downstream stage crashes on a missing file.
+        if "train" in prior_entry:
+            _reconstitute_last_checkpoint(model_dir, cfg["name"])
         train_artifacts_ok = os.path.exists(ckpt) and os.path.exists(stats_npz)
         if "train" in prior_entry and not train_artifacts_ok:
             print(f"[train {cfg['name']}] prior report entry found but "
@@ -1004,6 +1081,8 @@ def main(args):
             # same artifact check as the canonical configs: a prior
             # report 'train' entry whose checkpoint/stats were lost must
             # re-train, or downstream inference crashes on missing files
+            if "train" in entry:
+                _reconstitute_last_checkpoint(model_dir, cfg["name"])
             train_artifacts_ok = (
                 os.path.exists(ckpt) and os.path.exists(stats_npz)
             )

@@ -79,6 +79,80 @@ def test_metrics_best_val_epoch_split_records(tmp_path):
     assert article_replay._metrics_best_val_epoch(p) == 1
 
 
+def test_load_prior_prefers_richer_backup(tmp_path):
+    """A run killed between the fixture flush and stage re-merge leaves a
+    STRIPPED report on disk (round-5 live incident: two trained configs +
+    nine classifier stages vanished from the on-disk file); _load_prior
+    must fall back to the richer .prior backup and refresh it."""
+    import article_replay
+
+    out = str(tmp_path / "REP.json")
+    full = {
+        "configs": {"a": {"train": {"best_val": 1.0}}},
+        "classifier": {"ground_truth_r6d": {"best_val_acc": 0.5}},
+        "finger_trend": {"1": {"train": {"best_val": 2.0}}},
+    }
+    stripped = {"fixture": {"wall_s": 1.0}, "configs": {}}
+
+    # no files -> empty
+    assert article_replay._load_prior(out) == {}
+
+    # fresh complete report, no backup yet -> used and backed up
+    with open(out, "w") as f:
+        json.dump(full, f)
+    assert article_replay._load_prior(out) == full
+    assert json.load(open(out + ".prior")) == full
+
+    # the early-flush kill: stripped report over a rich backup
+    with open(out, "w") as f:
+        json.dump(stripped, f)
+    assert article_replay._load_prior(out) == full
+
+    # corrupt half-written flush: the backup still decides
+    with open(out, "w") as f:
+        f.write('{"configs": {')
+    assert article_replay._load_prior(out) == full
+
+    # a RICHER on-disk report (normal progress) wins over the backup
+    richer = dict(full, finger_trend={
+        "1": {"train": {"best_val": 2.0}},
+        "2": {"train": {"best_val": 3.0}},
+    })
+    with open(out, "w") as f:
+        json.dump(richer, f)
+    assert article_replay._load_prior(out) == richer
+    assert json.load(open(out + ".prior")) == richer
+
+
+def test_reconstitute_last_checkpoint(tmp_path):
+    """lastCheckpoint_{name}.pkl is the trainer's run-end byte copy of the
+    best-val {name}_checkpoint.pkl; the persist mirror keeps only the
+    latter, so resume rebuilds the copy (and never overwrites a real
+    one)."""
+    import article_replay
+
+    d = str(tmp_path)
+    best = os.path.join(d, "cfg_checkpoint.pkl")
+    last = os.path.join(d, "lastCheckpoint_cfg.pkl")
+
+    # nothing to do when the best-val file is absent
+    article_replay._reconstitute_last_checkpoint(d, "cfg")
+    assert not os.path.exists(last)
+
+    with open(best, "wb") as f:
+        f.write(b"best-val bytes")
+    article_replay._reconstitute_last_checkpoint(d, "cfg")
+    assert open(last, "rb").read() == b"best-val bytes"
+
+    # an existing lastCheckpoint is never clobbered
+    with open(last, "wb") as f:
+        f.write(b"existing last")
+    with open(best, "wb") as f:
+        f.write(b"newer best")
+    article_replay._reconstitute_last_checkpoint(d, "cfg")
+    assert open(last, "rb").read() == b"existing last"
+
+
 @pytest.mark.slow
 def test_article_replay_tiny(tmp_path):
     import article_replay
