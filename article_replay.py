@@ -57,6 +57,11 @@ ARTICLE_REFERENCE = {
     "table1_arm2wh_L1": {"train": 2.36, "val": 2.38, "test": 2.39},
     "table1_arm2wh_text_L1": {"train": 2.37, "val": 2.38, "test": 2.38},
     "table2_finger1_L1": {"val": 0.320, "test": 0.324},
+    # full Table 2 masked-finger series, K = 1..5 (BASELINE.md:14-15)
+    "table2_finger_trend_L1": {
+        "val": [0.320, 0.331, 0.338, 0.382, 0.418],
+        "test": [0.324, 0.330, 0.341, 0.381, 0.411],
+    },
     "classifier_val_acc_text_mlp": 0.77,
     "train_wallclock": "2 h / 200 epochs, batch 256, 1 GPU (article 4.1.3)",
     "dataset_scale": {"train": 31128, "val": 1741, "test": 2322},
@@ -210,6 +215,50 @@ def _stats_npz_matches(cfg, data_dir, model_dir, embeds_type="normal"):
                 ("body_std_Y", std_Y),
             )
         )
+
+
+def _finger_trend_comparison(trend):
+    """Quantify how the replay's masked-finger L1 series matches article
+    Table 2's shape (BASELINE.md:14-15): per-split Pearson correlation
+    against the article series, rank (Spearman) correlation, and strict
+    monotonicity — the article's signature is a monotone degradation
+    with K, and that is the property the fixture is built to reproduce."""
+    ks = sorted(int(k) for k in trend if "inference" in trend[k])
+    out = {"K": ks}
+    art = ARTICLE_REFERENCE["table2_finger_trend_L1"]
+    for split in ("val", "test"):
+        series = [trend[str(k)]["inference"]["L1"][split] for k in ks]
+        ref = [art[split][k - 1] for k in ks if k - 1 < len(art[split])]
+        entry = {"replay_L1": series, "article_L1": ref}
+        if len(ref) == len(series) and len(series) >= 3:
+            a = np.asarray(series, dtype=np.float64)
+            b = np.asarray(ref, dtype=np.float64)
+
+            def _corr(x, y):
+                # a flat series has zero variance -> corrcoef is NaN,
+                # which is not valid strict JSON; report null instead
+                if np.std(x) == 0.0 or np.std(y) == 0.0:
+                    return None
+                return float(np.corrcoef(x, y)[0, 1])
+
+            def _ranks(x):
+                # average ranks for ties — argsort-of-argsort would rank
+                # a flat series 0..n-1 by index and fake a perfect match
+                order = np.argsort(x, kind="stable")
+                pos = np.empty(len(x), dtype=np.float64)
+                pos[order] = np.arange(len(x), dtype=np.float64)
+                _, inv = np.unique(x, return_inverse=True)
+                out = np.empty(len(x), dtype=np.float64)
+                for g in range(inv.max() + 1):
+                    m = inv == g
+                    out[m] = pos[m].mean()
+                return out
+
+            entry["pearson_r"] = _corr(a, b)
+            entry["spearman_r"] = _corr(_ranks(a), _ranks(b))
+            entry["strictly_monotone"] = bool(np.all(np.diff(a) > 0))
+        out[split] = entry
+    return out
 
 
 def _parse_fingers(spec):
@@ -1120,6 +1169,8 @@ def main(args):
                 splits=("val", "test"),
             )
             _flush_report(report, args.out)
+        report["finger_trend_vs_article"] = _finger_trend_comparison(trend)
+        _flush_report(report, args.out)
 
     report["completed"] = True
     report["total_wall_s"] = time.perf_counter() - t_total

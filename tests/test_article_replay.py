@@ -27,6 +27,66 @@ def test_parse_fingers():
     assert article_replay._parse_fingers("3..3") == [3]
 
 
+def test_finger_trend_comparison():
+    """The Table-2 shape quantifier: Spearman/Pearson vs the article
+    series + strict monotonicity, tolerant of partial K coverage."""
+    import article_replay
+
+    art = article_replay.ARTICLE_REFERENCE["table2_finger_trend_L1"]
+
+    def trend_from(series_val, series_test):
+        return {
+            str(k + 1): {
+                "inference": {"L1": {"val": v, "test": t}},
+            }
+            for k, (v, t) in enumerate(zip(series_val, series_test))
+        }
+
+    # the article's own series compared to itself: perfect correlations
+    cmp_ = article_replay._finger_trend_comparison(
+        trend_from(art["val"], art["test"])
+    )
+    assert cmp_["K"] == [1, 2, 3, 4, 5]
+    for split in ("val", "test"):
+        assert cmp_[split]["pearson_r"] == pytest.approx(1.0)
+        assert cmp_[split]["spearman_r"] == pytest.approx(1.0)
+        assert cmp_[split]["strictly_monotone"] is True
+
+    # a flat series (the r4 signal-free fixture): not monotone, and the
+    # rank correlation must not read as a match
+    flat = trend_from([0.28] * 5, [0.28] * 5)
+    cmp_flat = article_replay._finger_trend_comparison(flat)
+    assert cmp_flat["val"]["strictly_monotone"] is False
+    assert cmp_flat["val"]["pearson_r"] is None  # zero variance, not NaN
+    assert cmp_flat["val"]["spearman_r"] is None  # tied ranks, not 1.0
+
+    # partial coverage (K=1..3): still computes, aligned to the prefix
+    part = trend_from(art["val"][:3], art["test"][:3])
+    cmp_part = article_replay._finger_trend_comparison(part)
+    assert cmp_part["K"] == [1, 2, 3]
+    assert cmp_part["val"]["article_L1"] == art["val"][:3]
+    assert cmp_part["val"]["strictly_monotone"] is True
+
+    # entries without inference results are skipped, not crashed on
+    part["4"] = {"train": {"best_val": 0.5}}
+    assert article_replay._finger_trend_comparison(part)["K"] == [1, 2, 3]
+
+
+def test_checked_in_signal_report_matches_table2_shape():
+    """The committed article-scale signal replay must carry the
+    quantified Table-2 comparison: strictly monotone on both splits
+    with rank correlation 1.0 (the r5 headline evidence)."""
+    with open(os.path.join(REPO, "ARTICLE_REPLAY_signal.json")) as f:
+        report = json.load(f)
+    cmp_ = report.get("finger_trend_vs_article")
+    assert cmp_, "finger_trend_vs_article missing from the signal report"
+    assert cmp_["K"] == [1, 2, 3, 4, 5]
+    for split in ("val", "test"):
+        assert cmp_[split]["strictly_monotone"] is True
+        assert cmp_[split]["spearman_r"] == pytest.approx(1.0)
+        assert cmp_[split]["pearson_r"] > 0.8
+
+
 def test_metrics_helpers_use_last_run_only(tmp_path):
     """Append-mode metrics JSONL stacks runs; resume decisions must read
     only the LAST run (r4 code review: a completed 5-epoch run followed
@@ -231,6 +291,12 @@ def test_article_replay_tiny(tmp_path):
         assert np.isfinite(entry["train"]["best_val"])
         for split in ("val", "test"):
             assert np.isfinite(entry["inference"]["L1"][split])
+    # the quantified Table-2 shape comparison rides along (correlations
+    # need K>=3 points; at K=2 the series are still recorded)
+    cmp_ = on_disk["finger_trend_vs_article"]
+    assert cmp_["K"] == [1, 2]
+    assert len(cmp_["val"]["replay_L1"]) == 2
+    assert cmp_["val"]["article_L1"] == [0.320, 0.331]
     # published numbers recorded alongside for the judge/table comparison
     assert on_disk["article_reference"]["table1_arm2wh_L1"]["val"] == 2.38
     assert report["total_wall_s"] > 0
