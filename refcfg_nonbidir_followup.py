@@ -40,6 +40,12 @@ def main():
         ),
     )
     p.add_argument("--out", default=os.path.join(REPO, "ARTICLE_REPLAY_signal.json"))
+    p.add_argument(
+        "--tag",
+        default="",
+        help="suffix for the report key + models dir, so a longer-budget "
+        "re-run does not overwrite the prior entry",
+    )
     args = p.parse_args()
 
     import classifier_main
@@ -50,7 +56,7 @@ def main():
         REPO,
         "article_replay_work_signal",
         "models",
-        "classifier_enhanced_refcfg_nonbidir",
+        "classifier_enhanced_refcfg_nonbidir" + args.tag,
     )
     ns.num_epochs = args.epochs
     ns.batch_size = 128
@@ -68,7 +74,7 @@ def main():
     with open(args.out) as f:
         report = json.load(f)
     cls = report.setdefault("classifier", {})
-    cls["enhanced_r6d_reference_config_nonbidir"] = {
+    cls["enhanced_r6d_reference_config_nonbidir" + args.tag] = {
         "best_val_acc": float(acc),
         "wall_s": wall,
         "epochs": ns.num_epochs,
@@ -82,13 +88,18 @@ def main():
     )
     cls["reference_config_note"] = (
         "enhanced_r6d_reference_config (bidir, 20 epochs) sat at chance "
-        "with FLAT TRAIN accuracy — a depth-10 LSTM optimization failure "
-        "at 1/10th the reference's 200-epoch budget, not a plumbing one "
-        "(the 256x2 classifier on the same pickles reaches 0.74; forward/"
-        "backward parity vs the torch classifier is unit-tested).  The "
-        "reference's own CLI default is bidir=False (main.py:155); the "
-        f"faithful non-bidir config at {ns.num_epochs} epochs {verdict} "
-        f"(best val acc {float(acc):.4f}, chance {chance:.3f})."
+        "with FLAT TRAIN accuracy — a depth-10 LSTM optimization failure, "
+        "not a plumbing one (the 256x2 classifier on the same pickles "
+        "reaches 0.74; forward/backward parity vs the torch classifier is "
+        "unit-tested).  The reference's own CLI default is bidir=False "
+        f"(main.py:155); the faithful non-bidir config at {ns.num_epochs} "
+        f"epochs {verdict} (best val acc {float(acc):.4f}, chance "
+        f"{chance:.3f}, train loss pinned at the uniform ln(n_classes) "
+        "entropy).  This matches the article's OWN observation that its "
+        "LSTM topic classifier 'cannot even overfit train' on keypoint "
+        "streams (article section 5.2.2 / Fig. 12, BASELINE.md:18) — "
+        "shallow configs (256x2) learn on r6d here, the published "
+        "1024x10 config does not start."
     )
     tmp = args.out + ".tmp"
     with open(tmp, "w") as f:
