@@ -62,6 +62,11 @@ ARTICLE_REFERENCE = {
         "val": [0.320, 0.331, 0.338, 0.382, 0.418],
         "test": [0.324, 0.330, 0.341, 0.381, 0.411],
     },
+    # Table 2's third row, "val L1 per masked finger" (BASELINE.md:16):
+    # exactly the first row divided by K (0.331/2=0.166, 0.338/3=0.113,
+    # 0.382/4=0.096, 0.418/5=0.084) — the article's per-finger figure is
+    # the total L1 amortized over the K masked fingers
+    "table2_finger_per_finger_L1_val": [0.320, 0.166, 0.113, 0.096, 0.084],
     "classifier_val_acc_text_mlp": 0.77,
     "train_wallclock": "2 h / 200 epochs, batch 256, 1 GPU (article 4.1.3)",
     "dataset_scale": {"train": 31128, "val": 1741, "test": 2322},
@@ -257,6 +262,19 @@ def _finger_trend_comparison(trend):
             entry["pearson_r"] = _corr(a, b)
             entry["spearman_r"] = _corr(_ranks(a), _ranks(b))
             entry["strictly_monotone"] = bool(np.all(np.diff(a) > 0))
+        if split == "val":
+            # Table 2 row 3 ("val L1 per masked finger") is row 1
+            # amortized over the K masked fingers — derive the replay's
+            # counterpart the same way
+            entry["replay_L1_per_finger"] = [
+                v / k for v, k in zip(series, ks)
+            ]
+            entry["article_L1_per_finger"] = [
+                ARTICLE_REFERENCE["table2_finger_per_finger_L1_val"][k - 1]
+                for k in ks
+                if k - 1
+                < len(ARTICLE_REFERENCE["table2_finger_per_finger_L1_val"])
+            ]
         out[split] = entry
     return out
 

@@ -51,6 +51,17 @@ def test_finger_trend_comparison():
         assert cmp_[split]["pearson_r"] == pytest.approx(1.0)
         assert cmp_[split]["spearman_r"] == pytest.approx(1.0)
         assert cmp_[split]["strictly_monotone"] is True
+    # Table 2 row 3 ("val L1 per masked finger") is row 1 amortized over
+    # the K masked fingers; the replay derives its counterpart the same
+    # way, so the article's own series maps exactly onto the published
+    # per-finger figures (0.320, 0.331/2=0.166, ...)
+    per = article_replay.ARTICLE_REFERENCE["table2_finger_per_finger_L1_val"]
+    assert cmp_["val"]["article_L1_per_finger"] == per
+    assert cmp_["val"]["replay_L1_per_finger"] == pytest.approx(
+        [v / k for k, v in enumerate(art["val"], start=1)]
+    )
+    assert cmp_["val"]["replay_L1_per_finger"] == pytest.approx(per, abs=6e-4)
+    assert "replay_L1_per_finger" not in cmp_["test"]  # a val-only row
 
     # a flat series (the r4 signal-free fixture): not monotone, and the
     # rank correlation must not read as a match
@@ -85,6 +96,15 @@ def test_checked_in_signal_report_matches_table2_shape():
         assert cmp_[split]["strictly_monotone"] is True
         assert cmp_[split]["spearman_r"] == pytest.approx(1.0)
         assert cmp_[split]["pearson_r"] > 0.8
+    # Table 2 row 3 coverage: the replay's derived per-masked-finger L1
+    # tracks the published figures closely from K=2 on (the K=1 points
+    # differ because the absolute K=1 L1s differ; the per-finger rows
+    # share the same 1/K amortization)
+    rep = cmp_["val"]["replay_L1_per_finger"]
+    art = cmp_["val"]["article_L1_per_finger"]
+    assert len(rep) == len(art) == 5
+    for r, a in zip(rep[1:], art[1:]):
+        assert abs(r - a) < 0.02
 
 
 def test_metrics_helpers_use_last_run_only(tmp_path):
